@@ -1,0 +1,577 @@
+"""Partitioned vertex engine: the distributed matrix/vector substrate.
+
+This is the Ray analogue of the reference's core physical layer —
+block-row-partitioned MPIAIJ matrix + row-aligned MPI vectors
+(petsc_util.cc:329-344 partitioning, 739-748 assembly; VecCreateForMatMult
+petsc_util.cc:95-112) — re-designed for Ray's object store instead of MPI
+collectives:
+
+* **Vertex partitions**: the id space [0, V) is split into P contiguous
+  ranges (`vbounds`); worker p owns the dense slices of every named vector
+  (rank x/y, personalization v, labels) for its range. This mirrors the
+  reference's `rowners[]` ownership.
+* **Edge partitions**: edges are globally sorted by (src, dst) and split
+  into P ranges of *equal edge count* — the engine's built-in version of the
+  reference's opt-in `-matload_redistribute` balanced repartition
+  (petsc_util.cc:1093-1263). A high-out-degree hub's edges simply span
+  several workers (explicit hub splitting, SURVEY.md §4 'Skew'); each worker
+  gathers the small halo of x-slices covering its src span.
+* **SpMV** (MatMultTranspose of ppagerank.cc:302-305): each worker computes
+  dense per-destination-partition partial sums from its edge block
+  (np.bincount over dst — the partial-aggregate combiner), publishes them as
+  P object refs (`num_returns=P`), and destination owners reduce their
+  column of refs. This replaces PETSc's VecScatter (petsc_util.cc:1553-1612)
+  with an object-store all-to-all of P×P dense partials — O(P·V) bytes per
+  iteration instead of O(E).
+* **Global scalars** (VecNorm/VecSum/VecDot Allreduce, ppagerank.cc:309,321)
+  are per-worker partials summed on the driver in fixed worker order
+  (deterministic for a given P).
+* **Checkpoint/resume**: per-iteration per-partition vector slices + a JSON
+  manifest (the reference keeps all state in RAM and cannot resume —
+  SURVEY.md §4 'Checkpoint / resume' is an engine-only requirement).
+
+Iterative algorithms drive this engine from plain Python loops; Ray Data is
+used up to the materialized edge table and again for result tables, exactly
+the boundary SURVEY.md §2.3 (ST1/ST2) prescribes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+
+@ray.remote
+def _nrows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def _fetch_slices(slices) -> pa.Table | None:
+    """slices: list of (ObjectRef[pa.Table], lo, hi) → concatenated rows."""
+    parts = []
+    for ref, lo, hi in slices:
+        t = ray.get(ref)
+        if hi > lo:
+            parts.append(t.slice(lo, hi - lo))
+    if not parts:
+        return None
+    return pa.concat_tables(parts).combine_chunks()
+
+
+class _VertexWorker:
+    """One vertex partition + one balanced edge partition. All hot methods
+    are pure numpy over preassembled arrays (setup once, per SURVEY ST1)."""
+
+    def __init__(self, wid: int, vbounds: list[int]):
+        self.wid = wid
+        self.vb = np.asarray(vbounds, dtype=np.int64)
+        self.P = len(vbounds) - 1
+        self.vlo = int(self.vb[wid])
+        self.vhi = int(self.vb[wid + 1])
+        self.size = self.vhi - self.vlo
+        self.vecs: dict[str, np.ndarray] = {}  # float64 slices
+        self.ivecs: dict[str, np.ndarray] = {}  # int64 slices (labels)
+        # directed edge block (sorted by dst within the block)
+        self.d_src = self.d_dst = self.d_w = None
+        self.d_qb = None  # dst-partition boundaries in the dst-sorted arrays
+        self.d_span = (0, 0)  # [min_src, max_src+1) of this edge block
+        # undirected edge block (sorted by dst) + per-q run structure
+        self.u_src = self.u_dst = None
+        self.u_qb = None
+        self.u_runs = None  # per q: (run_start_idx ndarray, uniq_local_dst ndarray)
+        self.u_span = (0, 0)
+
+    # ---------- loading ----------
+
+    def load_directed(self, slices) -> tuple[int, int, int]:
+        t = _fetch_slices(slices)
+        if t is None:
+            self.d_src = np.empty(0, np.int64)
+            self.d_dst = np.empty(0, np.int64)
+            self.d_w = np.empty(0, np.float64)
+            self.d_qb = np.zeros(self.P + 1, np.int64)
+            self.d_span = (self.vlo, self.vlo)
+            return 0, self.vlo, self.vlo
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        w = (
+            t["weight"].to_numpy().astype(np.float64)
+            if "weight" in t.column_names
+            else np.ones(len(src), np.float64)
+        )
+        order = np.argsort(dst, kind="stable")
+        self.d_src = np.ascontiguousarray(src[order])
+        self.d_dst = np.ascontiguousarray(dst[order])
+        self.d_w = np.ascontiguousarray(w[order])
+        self.d_qb = np.searchsorted(self.d_dst, self.vb)
+        self.d_span = (int(src.min()), int(src.max()) + 1)
+        return len(src), self.d_span[0], self.d_span[1]
+
+    def load_undirected(self, slices) -> tuple[int, int, int]:
+        t = _fetch_slices(slices)
+        if t is None:
+            self.u_src = np.empty(0, np.int64)
+            self.u_dst = np.empty(0, np.int64)
+            self.u_qb = np.zeros(self.P + 1, np.int64)
+            self.u_runs = [None] * self.P
+            self.u_span = (self.vlo, self.vlo)
+            return 0, self.vlo, self.vlo
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        order = np.argsort(dst, kind="stable")
+        self.u_src = np.ascontiguousarray(src[order])
+        self.u_dst = np.ascontiguousarray(dst[order])
+        self.u_qb = np.searchsorted(self.u_dst, self.vb)
+        runs = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a:
+                runs.append(None)
+                continue
+            seg = self.u_dst[a:b]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(seg)) + 1])
+            uniq_local = seg[starts] - self.vb[q]
+            runs.append((starts.astype(np.int64), uniq_local.astype(np.int64)))
+        self.u_runs = runs
+        self.u_span = (int(src.min()), int(src.max()) + 1)
+        return len(src), self.u_span[0], self.u_span[1]
+
+    # ---------- dense vector ops (SURVEY M3: Vec BLAS vocabulary) ----------
+
+    def vec_set_scalar(self, name: str, value: float):
+        self.vecs[name] = np.full(self.size, value, dtype=np.float64)
+
+    def vec_set_array(self, name: str, arr: np.ndarray):
+        assert len(arr) == self.size
+        self.vecs[name] = np.asarray(arr, dtype=np.float64).copy()
+
+    def vec_copy(self, src: str, dst: str):
+        self.vecs[dst] = self.vecs[src].copy()
+
+    def vec_scale(self, name: str, a: float):
+        self.vecs[name] *= a
+
+    def vec_shift(self, name: str, a: float):
+        self.vecs[name] += a
+
+    def vec_axpy(self, y: str, a: float, x: str):
+        self.vecs[y] += a * self.vecs[x]
+
+    def vec_aypx(self, y: str, a: float, x: str):
+        self.vecs[y] = a * self.vecs[y] + self.vecs[x]
+
+    def vec_waxpy(self, w: str, a: float, x: str, y: str):
+        self.vecs[w] = a * self.vecs[x] + self.vecs[y]
+
+    def vec_aypx_scaled(self, y: str, a: float, x: str):
+        """y ← a·x − y  (VecAXPBY(y, a, −1, x), ppagerank.cc:433)."""
+        self.vecs[y] = a * self.vecs[x] - self.vecs[y]
+
+    def vec_maxpy(self, y: str, coeffs: list[float], xs: list[str]):
+        acc = self.vecs[y]
+        for a, x in zip(coeffs, xs):
+            acc += a * self.vecs[x]
+
+    def vec_sum(self, name: str) -> float:
+        return float(self.vecs[name].sum())
+
+    def vec_norm1(self, name: str) -> float:
+        return float(np.abs(self.vecs[name]).sum())
+
+    def vec_norm2sq(self, name: str) -> float:
+        v = self.vecs[name]
+        return float(v @ v)
+
+    def vec_dot(self, a: str, b: str) -> float:
+        return float(self.vecs[a] @ self.vecs[b])
+
+    def vec_diff_norm1(self, a: str, b: str) -> float:
+        return float(np.abs(self.vecs[a] - self.vecs[b]).sum())
+
+    def get_slice(self, name: str) -> np.ndarray:
+        return self.vecs[name]
+
+    def ivec_init_ids(self, name: str):
+        self.ivecs[name] = np.arange(self.vlo, self.vhi, dtype=np.int64)
+
+    def get_islice(self, name: str) -> np.ndarray:
+        return self.ivecs[name]
+
+    # ---------- SpMV: y_partial[q] = sum over local edges of x[src]*w ----------
+
+    def _gather(self, parts: list, base_lo: int, span: tuple[int, int]) -> np.ndarray:
+        """Concatenate owner slices (already resolved to arrays or refs)."""
+        arrays = [ray.get(p) if isinstance(p, ray.ObjectRef) else p for p in parts]
+        full = np.concatenate(arrays) if len(arrays) > 1 else arrays[0]
+        return full, base_lo
+
+    def spmv_partials(self, x_parts: list, base_lo: int):
+        """Returns P items: dense float64 partial-contribution arrays (or
+        None where this worker has no edges into partition q). Caller uses
+        .options(num_returns=P) so destination owners pull only their own
+        column — the object store is the VecScatter."""
+        x_full, base = self._gather(x_parts, base_lo, self.d_span)
+        if len(self.d_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        contrib = x_full[self.d_src - base] * self.d_w
+        out = []
+        for q in range(self.P):
+            a, b = int(self.d_qb[q]), int(self.d_qb[q + 1])
+            if b == a:
+                out.append(None)
+                continue
+            part = np.bincount(
+                (self.d_dst[a:b] - self.vb[q]).astype(np.int64),
+                weights=contrib[a:b],
+                minlength=int(self.vb[q + 1] - self.vb[q]),
+            )
+            out.append(part)
+        return out[0] if self.P == 1 else tuple(out)
+
+    def reduce_partials(self, name: str, refs: list, scale: float = 1.0) -> float:
+        """vec[name] = scale * Σ partials (fixed order ⇒ deterministic for a
+        given P). Returns the local sum (for ω / e'P'x scalars)."""
+        acc = np.zeros(self.size, dtype=np.float64)
+        for r in refs:
+            arr = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            if arr is not None:
+                acc += arr
+        if scale != 1.0:
+            acc *= scale
+        self.vecs[name] = acc
+        return float(acc.sum())
+
+    # ---------- fused power-iteration update (hot path) ----------
+
+    def power_update(self, omega: float, use_pvec: bool, n_vertices: int):
+        """ppagerank.cc:308-330: y += ω·v ; δ_local = ‖y−x‖₁ ; x ← y.
+        Returns (delta_local, new_x_slice) — callers use num_returns=2 so the
+        x slice stays in the object store for the next gather."""
+        y = self.vecs["y"]
+        if use_pvec:
+            y += omega * self.vecs["v"]
+        else:
+            y += omega / n_vertices
+        delta = float(np.abs(y - self.vecs["x"]).sum())
+        self.vecs["x"] = y.copy()
+        return delta, self.vecs["x"]
+
+    # ---------- connected components (min-label propagation) ----------
+
+    def cc_partials(self, label_parts: list, base_lo: int):
+        """Per destination partition: (uniq_local_dst, min incoming label)."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        lab_full, base = self._gather(label_parts, base_lo, self.u_span)
+        vals = lab_full[self.u_src - base]
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            mins = np.minimum.reduceat(vals[a:b], starts)
+            out.append((uniq_local, mins))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def cc_reduce(self, refs: list):
+        """labels = min(labels, incoming mins). Returns (n_changed, slice)."""
+        labels = self.ivecs["label"]
+        idx_all, val_all = [], []
+        for r in refs:
+            pair = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            if pair is not None:
+                idx_all.append(pair[0])
+                val_all.append(pair[1])
+        if not idx_all:
+            return 0, labels
+        idx = np.concatenate(idx_all)
+        val = np.concatenate(val_all)
+        order = np.argsort(idx, kind="stable")
+        idx_s, val_s = idx[order], val[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+        uniq = idx_s[starts]
+        mins = np.minimum.reduceat(val_s, starts)
+        new = labels.copy()
+        new[uniq] = np.minimum(new[uniq], mins)  # uniq is unique ⇒ fancy-min
+        changed = int((new < labels).sum())
+        self.ivecs["label"] = new
+        return changed, new
+
+    # ---------- label propagation (synchronous neighbor-mode) ----------
+
+    def lp_partials(self, label_parts: list, base_lo: int, n_vertices: int):
+        """Per destination partition: (key = local_dst * V + label, count).
+        Counts are summable across workers — a partial/combiner aggregate."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        lab_full, base = self._gather(label_parts, base_lo, self.u_span)
+        vals = lab_full[self.u_src - base]
+        out = []
+        V = np.int64(n_vertices)
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a:
+                out.append(None)
+                continue
+            keys = (self.u_dst[a:b] - self.vb[q]) * V + vals[a:b]
+            uk, cnt = np.unique(keys, return_counts=True)
+            out.append((uk, cnt.astype(np.int64)))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def lp_reduce(self, refs: list, n_vertices: int):
+        """Pick per-vertex mode label, ties → smallest label; vertices with
+        no neighbors keep their label. Returns (n_changed, slice)."""
+        labels = self.ivecs["label"]
+        keys_all, cnt_all = [], []
+        for r in refs:
+            pair = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+            if pair is not None:
+                keys_all.append(pair[0])
+                cnt_all.append(pair[1])
+        if not keys_all:
+            return 0, labels
+        keys = np.concatenate(keys_all)
+        cnts = np.concatenate(cnt_all)
+        order = np.argsort(keys, kind="stable")
+        k_s, c_s = keys[order], cnts[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(k_s)) + 1])
+        uk = k_s[starts]
+        uc = np.add.reduceat(c_s, starts)
+        V = np.int64(n_vertices)
+        dsts = uk // V
+        labs = uk % V
+        # order by (dst asc, count desc, label asc); first row per dst wins
+        sel = np.lexsort((labs, -uc, dsts))
+        dsts_s, labs_s = dsts[sel], labs[sel]
+        first = np.concatenate([[0], np.flatnonzero(np.diff(dsts_s)) + 1])
+        new = labels.copy()
+        new[dsts_s[first]] = labs_s[first]
+        changed = int((new != labels).sum())
+        self.ivecs["label"] = new
+        return changed, new
+
+    # ---------- results / checkpoint ----------
+
+    def result_table(self, name: str, colname: str, integer: bool = False) -> pa.Table:
+        ids = np.arange(self.vlo, self.vhi, dtype=np.int64)
+        vals = self.ivecs[name] if integer else self.vecs[name]
+        return pa.Table.from_pydict({"id": ids, colname: vals})
+
+    def write_checkpoint(self, directory: str, names: list[str]) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"part_{self.wid:05d}.parquet")
+        cols = {"id": np.arange(self.vlo, self.vhi, dtype=np.int64)}
+        for n in names:
+            cols[n] = self.vecs[n] if n in self.vecs else self.ivecs[n]
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pydict(cols), tmp)
+        os.replace(tmp, path)
+        return path
+
+    def read_checkpoint(self, directory: str, names: list[str], integer: set | None = None):
+        path = os.path.join(directory, f"part_{self.wid:05d}.parquet")
+        t = pq.read_table(path)
+        for n in names:
+            arr = t[n].to_numpy()
+            if integer and n in integer:
+                self.ivecs[n] = arr.astype(np.int64)
+            else:
+                self.vecs[n] = arr.astype(np.float64)
+        return True
+
+
+# Workers are bursty (short numpy kernels between idle waits) and coexist
+# with Ray Data stages (sort/groupby) in the same CPU pool; reserving a full
+# CPU per worker deadlocks the Dataset stages when P == cluster CPUs. On the
+# single-node sandbox we run them unreserved (num_cpus=0) and let the OS
+# schedule the bursts; a real multi-node deployment would pin num_cpus=1 via
+# PPR_WORKER_NUM_CPUS and keep P below the per-node CPU count.
+_WORKER_CPUS = float(os.environ.get("PPR_WORKER_NUM_CPUS", "0"))
+VertexWorker = ray.remote(num_cpus=_WORKER_CPUS)(_VertexWorker)
+
+
+def _plan_balanced_slices(sorted_ds: rd.Dataset, P: int):
+    """Split a sorted edge Dataset into P contiguous ranges of equal edge
+    count (the reference's -matload_redistribute with wrows=0, wnnz=1;
+    petsc_util.cc:1122-1128). Returns (per-worker slice lists, total_edges).
+    Only block refs + row counts touch the driver."""
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    total = int(sum(counts))
+    bounds = [total * i // P for i in range(P + 1)]
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    plans: list[list] = [[] for _ in range(P)]
+    for bi, (ref, c) in enumerate(zip(refs, counts)):
+        if c == 0:
+            continue
+        g0, g1 = int(starts[bi]), int(starts[bi + 1])
+        for w in range(P):
+            lo = max(g0, bounds[w])
+            hi = min(g1, bounds[w + 1])
+            if hi > lo:
+                plans[w].append((ref, lo - g0, hi - g0))
+    return plans, total
+
+
+class VertexEngine:
+    """Driver-side handle over the worker pool; owns iteration loops."""
+
+    def __init__(self, n_vertices: int, num_partitions: int = 0):
+        if num_partitions <= 0:
+            num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        self.P = int(min(num_partitions, max(1, n_vertices)))
+        self.V = int(n_vertices)
+        self.vb = [self.V * i // self.P for i in range(self.P + 1)]
+        self.workers = [VertexWorker.remote(w, self.vb) for w in range(self.P)]
+        self.d_spans: list[tuple[int, int]] | None = None
+        self.u_spans: list[tuple[int, int]] | None = None
+        self.n_edges = 0
+        self.n_und_edges = 0
+        self.history: list[dict] = []
+
+    # ---------- loading ----------
+
+    def load_directed(self, edges: rd.Dataset):
+        """edges: (src, dst[, weight]) — globally sorted here; balanced
+        split; per-worker assembly (setup once, reused every iteration)."""
+        sorted_ds = edges.sort(["src", "dst"])
+        plans, total = _plan_balanced_slices(sorted_ds, self.P)
+        out = ray.get(
+            [w.load_directed.remote(p) for w, p in zip(self.workers, plans)]
+        )
+        self.n_edges = total
+        self.d_spans = [(lo, hi) for _, lo, hi in out]
+        return total
+
+    def load_undirected(self, und_edges: rd.Dataset):
+        sorted_ds = und_edges.sort(["src", "dst"])
+        plans, total = _plan_balanced_slices(sorted_ds, self.P)
+        out = ray.get(
+            [w.load_undirected.remote(p) for w, p in zip(self.workers, plans)]
+        )
+        self.n_und_edges = total
+        self.u_spans = [(lo, hi) for _, lo, hi in out]
+        return total
+
+    # ---------- helpers ----------
+
+    def _owners_for_span(self, span: tuple[int, int]) -> tuple[int, int]:
+        """Vertex partitions [j0, j1] covering id span [lo, hi)."""
+        lo, hi = span
+        if hi <= lo:
+            return 0, 0
+        j0 = int(np.searchsorted(self.vb, lo, side="right") - 1)
+        j1 = int(np.searchsorted(self.vb, hi - 1, side="right") - 1)
+        return j0, j1
+
+    def _gather_args(self, slice_refs: list, spans) -> list[tuple[list, int]]:
+        """For each worker: (refs of owner slices covering its src span,
+        base id of the first owner) — the halo exchange plan."""
+        args = []
+        for w in range(self.P):
+            j0, j1 = self._owners_for_span(spans[w])
+            args.append((slice_refs[j0 : j1 + 1], int(self.vb[j0])))
+        return args
+
+    def _sum(self, futures) -> float:
+        return float(np.sum(ray.get(futures)))
+
+    def set_vector_uniform(self, name: str, value: float):
+        ray.get([w.vec_set_scalar.remote(name, value) for w in self.workers])
+
+    def set_vector_from_array(self, name: str, full: np.ndarray):
+        ray.get(
+            [
+                w.vec_set_array.remote(name, full[self.vb[i] : self.vb[i + 1]])
+                for i, w in enumerate(self.workers)
+            ]
+        )
+
+    def slice_refs(self, name: str) -> list:
+        return [w.get_slice.remote(name) for w in self.workers]
+
+    def result_dataset(self, name: str, colname: str, integer: bool = False) -> rd.Dataset:
+        refs = [
+            w.result_table.remote(name, colname, integer) for w in self.workers
+        ]
+        return rd.from_arrow_refs(refs)
+
+    def to_array(self, name: str, integer: bool = False) -> np.ndarray:
+        """Driver-side materialization — tests and tiny graphs only."""
+        getter = "get_islice" if integer else "get_slice"
+        return np.concatenate(
+            ray.get([getattr(w, getter).remote(name) for w in self.workers])
+        )
+
+    def shutdown(self):
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []
+
+    # ---------- one distributed SpMV round: vec[out] = scale * (Aᵀ · vec[x]) ----------
+
+    def spmv(self, x_refs: list, out: str, scale: float = 1.0) -> float:
+        """Returns Σ out (the e'P'x scalar, folded into the same pass like
+        ppagerank.cc:707). x_refs are the published slice refs of the source
+        vector."""
+        gargs = self._gather_args(x_refs, self.d_spans)
+        partial_mat = [
+            w.spmv_partials.options(num_returns=self.P).remote(refs, base)
+            for w, (refs, base) in zip(self.workers, gargs)
+        ]
+        if self.P == 1:
+            partial_mat = [[m] for m in partial_mat]
+        reduce_futs = [
+            self.workers[q].reduce_partials.remote(
+                out, [partial_mat[p][q] for p in range(self.P)], scale
+            )
+            for q in range(self.P)
+        ]
+        return self._sum(reduce_futs)
+
+    # ---------- checkpointing ----------
+
+    def write_checkpoint(
+        self, ckpt_dir: str, iteration: int, names: list[str], meta: dict
+    ):
+        it_dir = os.path.join(ckpt_dir, f"iter_{iteration:06d}")
+        ray.get([w.write_checkpoint.remote(it_dir, names) for w in self.workers])
+        manifest = {
+            "iteration": iteration,
+            "n_vertices": self.V,
+            "n_edges": self.n_edges,
+            "num_partitions": self.P,
+            "vbounds": list(map(int, self.vb)),
+            "names": names,
+            "history": self.history,
+            **meta,
+        }
+        tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+
+    @staticmethod
+    def read_manifest(ckpt_dir: str) -> dict | None:
+        path = os.path.join(ckpt_dir, "manifest.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def restore_checkpoint(self, ckpt_dir: str, manifest: dict):
+        it_dir = os.path.join(ckpt_dir, f"iter_{manifest['iteration']:06d}")
+        names = manifest["names"]
+        ray.get(
+            [w.read_checkpoint.remote(it_dir, names, None) for w in self.workers]
+        )
+        self.history = list(manifest.get("history", []))

@@ -1,0 +1,139 @@
+"""Deterministic Common-Crawl-style pages table (url, warc_ts, html, text, lang).
+
+This is the engine's primary input per BASELINE.json `input_hint`. Since no
+external data is allowed, pages are synthesized deterministically from the
+driver-provided `documents` table: page i carries document (i mod n_docs)'s
+text/lang, and its html embeds <a href> links defined by a pure integer
+formula over the page id, so the resulting link graph is independently
+reproducible in SQL (see __ray_entry__.oracle_sql) and at any replication
+factor.
+
+Link formula (per page id i, n = number of pages):
+  * outdeg(i)       = i % 7                      -> ids with i%7==0 are dangling
+  * internal dsts   = (i*31 + 7*k + 1) % n       for k in 0..outdeg(i)-1
+  * external link   = ext(i % 5)                 iff i % 23 == 0
+  * duplicate href  = first internal dst repeated iff i % 13 == 0 and outdeg>0
+    (exercises the dedup path; the reference's input formats are pre-deduped,
+     our extractor must collapse duplicates: SURVEY.md §2.7)
+
+Urls are zero-padded so lexicographic url order == numeric id order, and
+external urls ('https://zz-...') sort after all page urls — the sort-based
+url→id assignment (FIXTURES.md §2) therefore gives page i vertex id i and
+external e vertex id n_pages+e, which keeps the SQL oracles exact.
+
+The reference's analogue of this module is its binary graph loaders
+(BSMAT petsc_util.cc:190-762, BVGraph petsc_util.cc:770-1063): pre-numbered
+adjacency in, matrix out. Our engine starts one step earlier, from raw pages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+PAGE_URL_FMT = "https://pages.example/p/{:08d}"
+EXT_URL_FMT = "https://zz-external.example/x/{:04d}"
+N_EXTERNAL = 5
+WARC_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 UTC in microseconds
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def page_url(i: int) -> str:
+    return PAGE_URL_FMT.format(i)
+
+
+def ext_url(e: int) -> str:
+    return EXT_URL_FMT.format(e)
+
+
+def internal_dsts(i: int, n_pages: int) -> list[int]:
+    outdeg = i % 7
+    return [(i * 31 + 7 * k + 1) % n_pages for k in range(outdeg)]
+
+
+def hrefs_for_page(i: int, n_pages: int) -> list[str]:
+    """All hrefs embedded in page i's html, duplicates included."""
+    dsts = internal_dsts(i, n_pages)
+    urls = [page_url(d) for d in dsts]
+    if i % 13 == 0 and urls:
+        urls.append(urls[0])
+    if i % 23 == 0:
+        urls.append(ext_url(i % N_EXTERNAL))
+    return urls
+
+
+def _render_html(i: int, text: str, n_pages: int) -> bytes:
+    links = "".join(f'<a href="{u}">l</a>\n' for u in hrefs_for_page(i, n_pages))
+    return (
+        f"<html><head><title>p{i}</title></head><body><p>{text}</p>\n"
+        f"{links}</body></html>"
+    ).encode("utf-8")
+
+
+def n_documents(sf_dir: str) -> int:
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _synth_batch(batch: pa.Table, n_docs: int, replicate: int) -> pa.Table:
+    n_pages = n_docs * replicate
+    doc_ids = batch["doc_id"].to_numpy()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    urls: list[str] = []
+    ts = np.empty(len(doc_ids) * replicate, dtype=np.int64)
+    htmls: list[bytes] = []
+    out_texts: list[str] = []
+    out_langs: list[str] = []
+    pos = 0
+    for rep in range(replicate):
+        base = rep * n_docs
+        for j, d in enumerate(doc_ids):
+            i = int(d) + base
+            urls.append(page_url(i))
+            ts[pos] = WARC_TS_BASE_US + i * 1_000_000
+            htmls.append(_render_html(i, texts[j], n_pages))
+            pos += 1
+        out_texts.extend(texts)
+        out_langs.extend(langs)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, type=pa.string()),
+            pa.array(ts, type=pa.timestamp("us")),
+            pa.array(htmls, type=pa.binary()),
+            pa.array(out_texts, type=pa.string()),
+            pa.array(out_langs, type=pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def synth_pages(
+    sf_dir: str,
+    replicate: int = 1,
+    override_parallelism: int | None = None,
+) -> rd.Dataset:
+    """Pages Dataset for one scale-factor dir; `replicate` scales the graph
+    (page count = n_docs * replicate) for bench runs without external data."""
+    n_docs = n_documents(sf_dir)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    if override_parallelism:
+        ds = ds.repartition(override_parallelism)
+    return ds.map_batches(
+        _synth_batch,
+        batch_format="pyarrow",
+        batch_size=2048,
+        fn_kwargs={"n_docs": n_docs, "replicate": replicate},
+    )

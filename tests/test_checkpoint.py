@@ -1,0 +1,76 @@
+"""Checkpoint/resume: interrupted run + resume == uninterrupted run
+(north-rule requirement; SURVEY.md §4 'Checkpoint / resume')."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ppagerank_ray.algos.pagerank import power_iteration
+from ppagerank_ray.config import PageRankConfig
+from ppagerank_ray.engine.vertex_engine import VertexEngine
+from ppagerank_ray.graph.build import build_graph
+from ppagerank_ray.sources.pages import synth_pages
+
+
+@pytest.fixture(scope="module")
+def graph(sf_tiny):
+    return build_graph(synth_pages(sf_tiny))
+
+
+def _fresh_engine(gt, P=3):
+    e = VertexEngine(gt.n_vertices, P)
+    e.load_directed(gt.edges)
+    return e
+
+def test_resume_reproduces_uninterrupted_run(graph, tmp_path):
+    gt = graph
+    cfg = PageRankConfig(alpha=0.85, tol=1e-8)
+    # uninterrupted reference run
+    e1 = _fresh_engine(gt)
+    info1 = power_iteration(e1, cfg)
+    x1 = e1.to_array("x")
+    e1.shutdown()
+
+    # interrupted: stop after 5 iterations (maxiter cap simulates the kill)
+    ckpt = str(tmp_path / "ckpt")
+    cfg5 = PageRankConfig(alpha=0.85, tol=1e-8, maxiter=5)
+    e2 = _fresh_engine(gt)
+    power_iteration(e2, cfg5, checkpoint_dir=ckpt, checkpoint_every=1)
+    e2.shutdown()
+    manifest = VertexEngine.read_manifest(ckpt)
+    assert manifest["iteration"] == 5
+    assert manifest["algorithm"] == "power"
+    assert not manifest["converged"]
+
+    # resume in a brand-new engine (simulates restart after failure)
+    e3 = _fresh_engine(gt)
+    info3 = power_iteration(e3, cfg, checkpoint_dir=ckpt, checkpoint_every=1)
+    x3 = e3.to_array("x")
+    e3.shutdown()
+
+    assert info3["iteration"] == info1["iteration"]
+    np.testing.assert_allclose(x3, x1, atol=1e-15)
+    # manifest carries lineage + per-iteration metrics
+    manifest = VertexEngine.read_manifest(ckpt)
+    assert manifest["converged"]
+    hist = manifest["history"]
+    assert hist[-1]["residual_l1"] < 1e-8
+    assert all("edges_per_sec" in h for h in hist)
+    # per-partition slice files exist for the final iteration
+    it_dir = os.path.join(ckpt, f"iter_{manifest['iteration']:06d}")
+    assert len(os.listdir(it_dir)) == manifest["num_partitions"]
+
+
+def test_resume_of_converged_run_is_noop(graph, tmp_path):
+    gt = graph
+    ckpt = str(tmp_path / "ckpt2")
+    cfg = PageRankConfig(alpha=0.85, tol=1e-6)
+    e1 = _fresh_engine(gt)
+    power_iteration(e1, cfg, checkpoint_dir=ckpt, checkpoint_every=2)
+    e1.shutdown()
+    e2 = _fresh_engine(gt)
+    info = power_iteration(e2, cfg, checkpoint_dir=ckpt, checkpoint_every=2)
+    e2.shutdown()
+    assert info["converged"]

@@ -1,0 +1,111 @@
+"""Connected components / label propagation / triangles — exact-match tests
+vs networkx and numpy oracles (SURVEY.md §2.9 engine-only algorithms)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ppagerank_ray.algos.components import (
+    connected_components,
+    label_propagation,
+    numpy_cc_oracle,
+    numpy_lp_oracle,
+)
+from ppagerank_ray.algos.triangles import numpy_triangle_oracle, triangle_count
+from ppagerank_ray.engine.vertex_engine import VertexEngine
+from ppagerank_ray.graph.build import build_graph, build_undirected
+from ppagerank_ray.sources.pages import synth_pages
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"src": np.asarray(src, np.int64), "dst": np.asarray(dst, np.int64)}
+        )
+    )
+
+
+def _und_arrays(und_ds):
+    t = und_ds.to_pandas()
+    return t["src"].to_numpy(), t["dst"].to_numpy()
+
+
+def test_two_components_exact():
+    # cluster {0,1,2}, cluster {3,4}, isolated 5
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([1, 2, 0, 4])
+    n = 6
+    und = build_undirected(_edges_ds(src, dst))
+    engine = VertexEngine(n, 2)
+    engine.load_undirected(und)
+    connected_components(engine)
+    labels = engine.to_array("label", integer=True)
+    engine.shutdown()
+    assert labels.tolist() == [0, 0, 0, 3, 3, 5]
+
+
+def test_components_match_networkx(sf_tiny):
+    nx = pytest.importorskip("networkx")
+    gt = build_graph(synth_pages(sf_tiny))
+    et = gt.edges.to_pandas()
+    g = nx.Graph()
+    g.add_nodes_from(range(gt.n_vertices))
+    g.add_edges_from(zip(et["src"], et["dst"]))
+    expected = np.empty(gt.n_vertices, dtype=np.int64)
+    for comp in nx.connected_components(g):
+        m = min(comp)
+        for v in comp:
+            expected[v] = m
+    engine = VertexEngine(gt.n_vertices, 4)
+    engine.load_undirected(build_undirected(gt.edges))
+    connected_components(engine)
+    labels = engine.to_array("label", integer=True)
+    engine.shutdown()
+    assert np.array_equal(labels, expected)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_label_propagation_matches_oracle(sf_tiny, P):
+    gt = build_graph(synth_pages(sf_tiny))
+    und = build_undirected(gt.edges)
+    us, ud = _und_arrays(und)
+    engine = VertexEngine(gt.n_vertices, P)
+    engine.load_undirected(und)
+    label_propagation(engine, num_rounds=4)
+    labels = engine.to_array("label", integer=True)
+    engine.shutdown()
+    expected = numpy_lp_oracle(us, ud, gt.n_vertices, rounds=4)
+    assert np.array_equal(labels, expected)
+
+
+def test_cc_oracle_agreement(sf_tiny):
+    gt = build_graph(synth_pages(sf_tiny))
+    und = build_undirected(gt.edges)
+    us, ud = _und_arrays(und)
+    engine = VertexEngine(gt.n_vertices, 3)
+    engine.load_undirected(und)
+    connected_components(engine)
+    labels = engine.to_array("label", integer=True)
+    engine.shutdown()
+    assert np.array_equal(labels, numpy_cc_oracle(us, ud, gt.n_vertices))
+
+
+def test_triangle_known_counts():
+    # K4 (4 triangles) ∪ disjoint K3 (1 triangle) + a dangling path edge
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    k3 = [(4, 5), (5, 6), (6, 4)]
+    path = [(6, 7)]
+    src, dst = zip(*(k4 + k3 + path))
+    assert (
+        triangle_count(_edges_ds(np.array(src), np.array(dst)), 8) == 5
+    )
+
+
+def test_triangles_match_oracle(sf_tiny):
+    gt = build_graph(synth_pages(sf_tiny))
+    et = gt.edges.to_pandas()
+    src, dst = et["src"].to_numpy(), et["dst"].to_numpy()
+    expected = numpy_triangle_oracle(src, dst)
+    assert triangle_count(gt.edges, gt.n_vertices) == expected
+    assert expected > 0  # fixture actually has triangles

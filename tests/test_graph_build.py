@@ -1,0 +1,79 @@
+"""Graph construction tests: sort-based ids, dedup, normalization weights."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from ppagerank_ray.graph.build import build_graph, build_undirected
+from ppagerank_ray.sources.pages import (
+    N_EXTERNAL,
+    ext_url,
+    hrefs_for_page,
+    internal_dsts,
+    n_documents,
+    page_url,
+    synth_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def graph_tiny(sf_tiny):
+    return build_graph(synth_pages(sf_tiny)), n_documents(sf_tiny)
+
+
+def _expected_edge_ids(nd: int) -> set[tuple[int, int]]:
+    """Vertex id == page id; external e → nd + e (url sort order)."""
+    out = set()
+    for i in range(nd):
+        for d in internal_dsts(i, nd):
+            out.add((i, d))
+        if i % 23 == 0:
+            out.add((i, nd + (i % N_EXTERNAL)))
+    return out
+
+
+def test_vertex_ids_are_url_sort_ranks(graph_tiny):
+    gt, nd = graph_tiny
+    vt = gt.vertices.to_pandas().sort_values("id")
+    assert gt.n_vertices == nd + N_EXTERNAL
+    assert list(vt["id"]) == list(range(gt.n_vertices))
+    # ids follow url sort order: page i ↔ id i, external e ↔ nd + e
+    assert vt["url"].iloc[0] == page_url(0)
+    assert vt["url"].iloc[nd - 1] == page_url(nd - 1)
+    assert vt["url"].iloc[nd] == ext_url(0)
+    assert list(vt["url"]) == sorted(vt["url"])
+
+
+def test_edges_deduped_and_match_formula(graph_tiny):
+    gt, nd = graph_tiny
+    et = gt.edges.to_pandas()
+    got = set(zip(et["src"], et["dst"]))
+    assert got == _expected_edge_ids(nd)
+    assert len(et) == len(got)  # dedup collapsed repeated hrefs
+
+
+def test_weights_are_inverse_outdegree(graph_tiny):
+    gt, _ = graph_tiny
+    et = gt.edges.to_pandas()
+    outdeg = et.groupby("src").size()
+    for s, grp in et.groupby("src"):
+        np.testing.assert_allclose(grp["weight"], 1.0 / outdeg[s], rtol=0, atol=0)
+    # row-stochastic check: ‖P‖∞ == 1 (ppagerank.cc:113-117 sanity stat)
+    row_sums = et.groupby("src")["weight"].sum()
+    np.testing.assert_allclose(row_sums, 1.0, atol=1e-12)
+
+
+def test_build_undirected(graph_tiny):
+    gt, _ = graph_tiny
+    et = gt.edges.to_pandas()
+    directed = set(zip(et["src"], et["dst"]))
+    expected = set()
+    for s, d in directed:
+        if s != d:
+            expected.add((s, d))
+            expected.add((d, s))
+    ut = build_undirected(gt.edges).to_pandas()
+    got = list(zip(ut["src"], ut["dst"]))
+    assert set(got) == expected
+    assert len(got) == len(expected)  # no duplicate undirected rows
