@@ -1,16 +1,20 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() pipelines, oracle_sql() checks.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The synthetic web-pages graph (BASELINE.json input_hint) is derived
+deterministically from the `documents` table by a pure integer formula
+(ppagerank_ray/sources/pages.py), so every graph pipeline — including the
+full extraction → id-mapping → iteration stack — has an exact ANSI-SQL
+oracle over the pre-registered `documents` view. Iterative algorithms run a
+FIXED iteration count in their oracle-checked variants (the SQL unrolls the
+same number of steps); convergence-driven variants (power-to-tol, inout,
+arnoldi) are rows-only here and conformance-tested against numpy oracles in
+tests/.
+
+Float-valued results are rounded to 6 decimals ON BOTH SIDES; distributed
+vs. SQL summation orders differ at ~1e-14, far below the rounding grain.
 """
 
 from __future__ import annotations
@@ -18,27 +22,686 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+ALPHA = 0.85
+PR_ITERS = 20  # fixed-iteration PageRank for the oracle comparison
+PR_PVEC_ITERS = 10
+CC_ITERS = 24  # min-label rounds unrolled in SQL (diameter ≪ 24 at sf≤0.1)
+LP_ITERS = 4
+JACCARD_T = 0.7
+EMB_NEAR_T = 0.4
+KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+KNN_K = 10
+
+
+# ---------------------------------------------------------------------------
+# shared graph construction (cached per sf_dir within the process)
+# ---------------------------------------------------------------------------
+
+_cache: dict[str, Any] = {}
+
+
+def _graph(sf_dir: str):
+    if sf_dir not in _cache:
+        from ppagerank_ray.graph.build import build_graph
+        from ppagerank_ray.sources.pages import synth_pages
+
+        _cache[sf_dir] = build_graph(synth_pages(sf_dir))
+    return _cache[sf_dir]
+
+
+def _edge_arrays(sf_dir: str):
+    import ray
+
+    key = (sf_dir, "arrays")
+    if key not in _cache:
+        gt = _graph(sf_dir)
+        t = pa.concat_tables(
+            [b for b in ray.get(gt.edges.to_arrow_refs()) if b.num_rows]
+        )
+        _cache[key] = (t["src"].to_numpy(), t["dst"].to_numpy())
+    return _cache[key]
+
+
+def _engine(sf_dir: str, directed=True, undirected=False):
+    """Fresh engine per call (driver may interleave queries)."""
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+    from ppagerank_ray.graph.build import build_undirected
+
+    gt = _graph(sf_dir)
+    eng = VertexEngine(gt.n_vertices, num_partitions=4)
+    if directed:
+        eng.load_directed(gt.edges)
+    if undirected:
+        eng.load_undirected(build_undirected(gt.edges))
+    return eng, gt
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _round6(arr: np.ndarray) -> np.ndarray:
+    return np.round(arr, 6)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 pages → graph → PageRank to 1e-7; (id, score)."""
+    from ppagerank_ray.pipelines.flagship import run_flagship
+
+    scores, _info = run_flagship("/root/testdata/sf0.001")
+    return scores
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pages_meta(sf_dir: str):
+    from ppagerank_ray.sources.pages import synth_pages
+
+    return synth_pages(sf_dir).select_columns(["url", "warc_ts", "text", "lang"])
+
+
+def _q_text_invariant(sf_dir: str):
+    from ppagerank_ray.sources.pages import synth_pages
+    from ppagerank_ray.stages.extract import text_invariant_stats
+
+    n, bad = text_invariant_stats(synth_pages(sf_dir))
+    return pa.Table.from_pydict(
+        {"n_pages": pa.array([n], pa.int64()), "n_mismatch": pa.array([bad], pa.int64())}
+    )
+
+
+def _q_vertices(sf_dir: str):
+    return _graph(sf_dir).vertices
+
+
+def _q_edges(sf_dir: str):
+    return _graph(sf_dir).edges.select_columns(["src", "dst"])
+
+
+def _outdeg_array(sf_dir: str) -> np.ndarray:
+    gt = _graph(sf_dir)
+    src, _ = _edge_arrays(sf_dir)
+    return np.bincount(src, minlength=gt.n_vertices).astype(np.int64)
+
+def _q_outdegree(sf_dir: str):
+    gt = _graph(sf_dir)
+    outdeg = _outdeg_array(sf_dir)
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "outdeg": outdeg}
+    )
+
+
+def _q_dangling(sf_dir: str):
+    t = _q_outdegree(sf_dir)
+    keep = pa.compute.equal(t["outdeg"], 0)
+    return t.filter(keep).select(["id"])
+
+
+def _q_matrix_stats(sf_dir: str):
+    """SURVEY A1/A6/A7: nnz, dims, degree extremes, ‖P‖₁/‖P‖∞ sanity norms
+    (reference prints these at ppagerank_main.cc:232-251)."""
+    gt = _graph(sf_dir)
+    src, dst = _edge_arrays(sf_dir)
+    outdeg = np.bincount(src, minlength=gt.n_vertices)
+    indeg = np.bincount(dst, minlength=gt.n_vertices)
+    w = 1.0 / outdeg[src]
+    colsum = np.bincount(dst, weights=w, minlength=gt.n_vertices)
+    rowsum = np.bincount(src, weights=w, minlength=gt.n_vertices)
+    return pa.Table.from_pydict(
+        {
+            "n_vertices": pa.array([gt.n_vertices], pa.int64()),
+            "n_edges": pa.array([gt.n_edges], pa.int64()),
+            "n_dangling": pa.array([int((outdeg == 0).sum())], pa.int64()),
+            "max_outdeg": pa.array([int(outdeg.max())], pa.int64()),
+            "max_indeg": pa.array([int(indeg.max())], pa.int64()),
+            "norm_1": pa.array([round(float(colsum.max()), 6)], pa.float64()),
+            "norm_inf": pa.array([round(float(rowsum.max()), 6)], pa.float64()),
+        }
+    )
+
+
+def _pagerank_fixed(sf_dir: str, iters: int, pvec: bool):
+    from ppagerank_ray.algos.pagerank import power_iteration
+    from ppagerank_ray.config import PageRankConfig
+
+    eng, gt = _engine(sf_dir)
+    v = None
+    if pvec:
+        v = (np.arange(gt.n_vertices) % 10 + 1).astype(np.float64)
+        v /= v.sum()
+    cfg = PageRankConfig(alpha=ALPHA, tol=0.0, maxiter=iters)
+    power_iteration(eng, cfg, v=v)
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
+    )
+
+
+def _q_pagerank(sf_dir: str):
+    return _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
+
+
+def _q_pagerank_pvec(sf_dir: str):
+    return _pagerank_fixed(sf_dir, PR_PVEC_ITERS, pvec=True)
+
+
+def _q_pagerank_top20(sf_dir: str):
+    t = _q_pagerank(sf_dir)
+    ids = t["id"].to_numpy()
+    sc = t["score"].to_numpy()
+    order = np.lexsort((ids, -sc))[:20]
+    return pa.Table.from_pydict(
+        {
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "id": ids[order],
+            "score": sc[order],
+        }
+    )
+
+
+def _q_pagerank_converged(sf_dir: str):
+    """Convergence-driven run (tol 1e-7 like the reference default) —
+    rows-only check; numerical conformance is pytest's job."""
+    from ppagerank_ray.algos.pagerank import power_iteration
+    from ppagerank_ray.config import PageRankConfig
+
+    eng, gt = _engine(sf_dir)
+    info = power_iteration(eng, PageRankConfig(alpha=ALPHA, tol=1e-7))
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
+    )
+
+
+def _q_pagerank_inout(sf_dir: str):
+    from ppagerank_ray.algos.pagerank import inner_outer
+    from ppagerank_ray.config import PageRankConfig
+
+    eng, gt = _engine(sf_dir)
+    inner_outer(eng, PageRankConfig(alpha=ALPHA, tol=1e-7))
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
+    )
+
+
+def _q_pagerank_arnoldi(sf_dir: str):
+    from ppagerank_ray.algos.pagerank import arnoldi
+    from ppagerank_ray.config import PageRankConfig
+
+    eng, gt = _engine(sf_dir)
+    arnoldi(eng, PageRankConfig(alpha=ALPHA, tol=1e-7, maxiter=50))
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
+    )
+
+
+def _q_components(sf_dir: str):
+    from ppagerank_ray.algos.components import connected_components
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    connected_components(eng)
+    lab = eng.to_array("label", integer=True)
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "component": lab}
+    )
+
+
+def _q_component_sizes(sf_dir: str):
+    t = _q_components(sf_dir)
+    comp = t["component"].to_numpy()
+    uniq, cnt = np.unique(comp, return_counts=True)
+    return pa.Table.from_pydict({"component": uniq, "n_vertices": cnt.astype(np.int64)})
+
+
+def _q_label_propagation(sf_dir: str):
+    from ppagerank_ray.algos.components import label_propagation
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    label_propagation(eng, num_rounds=LP_ITERS)
+    lab = eng.to_array("label", integer=True)
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "label": lab}
+    )
+
+
+def _q_triangles(sf_dir: str):
+    from ppagerank_ray.algos.triangles import triangle_count
+
+    gt = _graph(sf_dir)
+    n = triangle_count(gt.edges, gt.n_vertices)
+    return pa.Table.from_pydict({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _q_runscript(sf_dir: str):
+    """Script mode (reference -script, ppagerank_main.cc:368-404): several
+    configs against ONE loaded+normalized graph/engine."""
+    from ppagerank_ray.pipelines.runscript import run_script
+
+    specs = [
+        {"alg": "power", "alpha": 0.95, "tol": 1e-7},
+        {"alg": "inout", "alpha": 0.95, "tol": 1e-7},
+        {"alg": "power", "alpha": 0.85, "tol": 1e-7},
+    ]
+    return run_script(sf_dir, specs)
+
+
+# --- documents / embeddings / events operators ---
+
+
+def _q_exact_dedup(sf_dir: str):
+    from ppagerank_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_token_counts(sf_dir: str):
+    from ppagerank_ray.functions.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from ppagerank_ray.functions.textstats import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from ppagerank_ray.functions.textstats import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from ppagerank_ray.functions.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_near_dup_jaccard(sf_dir: str):
+    from ppagerank_ray.functions.dedup import near_dup_pairs
+
+    return near_dup_pairs(_docs(sf_dir), threshold=JACCARD_T)
+
+
+def _q_minhash_candidates(sf_dir: str):
+    from ppagerank_ray.functions.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str):
+    from ppagerank_ray.functions.dedup import simhashes
+
+    return simhashes(_docs(sf_dir))
+
+
+def _q_knn(sf_dir: str):
+    from ppagerank_ray.functions.similarity import knn_bruteforce
+
+    return knn_bruteforce(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+def _q_emb_near_dup(sf_dir: str):
+    from ppagerank_ray.functions.similarity import near_dup_embeddings
+
+    return near_dup_embeddings(_emb(sf_dir), threshold=EMB_NEAR_T)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from ppagerank_ray.functions.similarity import ann_lsh
+
+    return ann_lsh(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
+def _q_media_features(sf_dir: str):
+    from ppagerank_ray.functions.multimodal import (
+        media_features,
+        synth_media_from_documents,
+    )
+
+    feats = media_features(synth_media_from_documents(_docs(sf_dir)))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        f = np.array(t["features"].to_pylist(), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "n_bytes": f[:, 0].astype(np.int64),
+                "checksum": f[:, 3].astype(np.int64),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_events_windowed(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (
+        ev.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+
+    def roundv(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("total_value"),
+            "total_value",
+            pa.array(np.round(t["total_value"].to_numpy(), 6)),
+        )
+
+    return out.map_batches(roundv, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # pages / extraction
+        "pages_meta": _q_pages_meta,
+        "text_invariant": _q_text_invariant,
+        # graph build
+        "vertices": _q_vertices,
+        "edges": _q_edges,
+        "outdegree": _q_outdegree,
+        "dangling": _q_dangling,
+        "matrix_stats": _q_matrix_stats,
+        # iterative algorithms (fixed-iteration, oracle-checked)
+        "pagerank": _q_pagerank,
+        "pagerank_top20": _q_pagerank_top20,
+        "pagerank_pvec": _q_pagerank_pvec,
+        "connected_components": _q_components,
+        "component_sizes": _q_component_sizes,
+        "label_propagation": _q_label_propagation,
+        "triangle_count": _q_triangles,
+        # convergence-driven variants (rows-only; pytest owns conformance)
+        "pagerank_converged": _q_pagerank_converged,
+        "pagerank_inout": _q_pagerank_inout,
+        "pagerank_arnoldi": _q_pagerank_arnoldi,
+        "runscript": _q_runscript,
+        # documents: dedup + text analysis
+        "exact_dedup": _q_exact_dedup,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "minhash_candidates": _q_minhash_candidates,
+        "simhash": _q_simhash,
+        # embeddings: similarity search
+        "embedding_knn": _q_knn,
+        "embedding_near_dup": _q_emb_near_dup,
+        "ann_lsh": _q_ann_lsh,
+        # multimodal + events
+        "media_features": _q_media_features,
+        "events_windowed": _q_events_windowed,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_GRAPH_CTES = """
+params AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+verts AS MATERIALIZED (
+  SELECT doc_id AS id, printf('https://pages.example/p/%08d', doc_id) AS url
+  FROM documents
+  UNION ALL
+  SELECT p.n + e.e AS id, printf('https://zz-external.example/x/%04d', e.e) AS url
+  FROM params p CROSS JOIN
+    (SELECT DISTINCT doc_id % 5 AS e FROM documents WHERE doc_id % 23 = 0) e
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src, (d.doc_id*31 + 7*t.k + 1) % p.n AS dst
+    FROM documents d CROSS JOIN params p CROSS JOIN generate_series(0,6) t(k)
+    WHERE t.k < d.doc_id % 7
+    UNION ALL
+    SELECT d.doc_id AS src, p.n + (d.doc_id % 5) AS dst
+    FROM documents d CROSS JOIN params p
+    WHERE d.doc_id % 23 = 0
+  )
+),
+nv AS (SELECT count(*)::BIGINT AS v FROM verts),
+deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+outdeg_all AS MATERIALIZED (
+  SELECT v.id, coalesce(d.outdeg, 0)::BIGINT AS outdeg
+  FROM verts v LEFT JOIN deg d ON v.id = d.id
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+  FROM edges WHERE src <> dst
+),
+undb AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und)
+"""
+
+
+def _pagerank_sql(iters: int, pvec: bool) -> str:
+    parts = [_GRAPH_CTES]
+    if pvec:
+        parts.append(
+            """, vvec AS (
+  SELECT id, (id % 10 + 1)::DOUBLE / (SELECT sum(id % 10 + 1) FROM verts) AS v
+  FROM verts
+), pr0 AS MATERIALIZED (SELECT id, v AS x FROM vvec)"""
+        )
+    else:
+        parts.append(", pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT v FROM nv) AS x FROM verts)")
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", y{t} AS MATERIALIZED (
+  SELECT e.dst AS id, {ALPHA}*sum(p.x / d.outdeg) AS ax
+  FROM edges e JOIN pr{t-1} p ON e.src = p.id JOIN deg d ON e.src = d.id
+  GROUP BY e.dst
+)"""
+        )
+        shift = (
+            f"(1.0 - (SELECT sum(ax) FROM y{t})) * vv.v"
+            if pvec
+            else f"(1.0 - (SELECT sum(ax) FROM y{t})) / (SELECT v FROM nv)"
+        )
+        join_v = " JOIN vvec vv ON v.id = vv.id" if pvec else ""
+        parts.append(
+            f""", pr{t} AS MATERIALIZED (
+  SELECT v.id, coalesce(y.ax, 0) + {shift} AS x
+  FROM verts v{join_v} LEFT JOIN y{t} y ON v.id = y.id
+)"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT id, round(x, 6) AS score FROM pr{iters}"
+
+
+def _cc_sql(iters: int) -> str:
+    parts = [_GRAPH_CTES, ", cc0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", cc{t} AS MATERIALIZED (
+  SELECT v.id, least(c.lab, coalesce(m.ml, c.lab)) AS lab
+  FROM verts v JOIN cc{t-1} c ON v.id = c.id
+  LEFT JOIN (
+    SELECT u.dst AS id, min(c2.lab) AS ml
+    FROM undb u JOIN cc{t-1} c2 ON u.src = c2.id GROUP BY u.dst
+  ) m ON v.id = m.id
+)"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT id, lab AS component FROM cc{iters}"
+
+
+def _lp_sql(iters: int) -> str:
+    parts = [_GRAPH_CTES, ", lp0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT id, lab FROM (
+    SELECT cnts.id, cnts.lab,
+           row_number() OVER (PARTITION BY cnts.id ORDER BY cnts.cnt DESC, cnts.lab ASC) AS rn
+    FROM (
+      SELECT u.dst AS id, c.lab, count(*) AS cnt
+      FROM undb u JOIN lp{t-1} c ON u.src = c.id GROUP BY u.dst, c.lab
+    ) cnts
+  ) WHERE rn = 1
+), lp{t} AS MATERIALIZED (
+  SELECT v.id, coalesce(w.lab, c.lab) AS lab
+  FROM verts v JOIN lp{t-1} c ON v.id = c.id LEFT JOIN w{t} w ON v.id = w.id
+)"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT id, lab AS label FROM lp{iters}"
+
+
+_SHINGLE_CTES = """
+maxlen AS (SELECT max(length(text))::BIGINT AS m FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id, substr(d.text, s.k::INT, 5) AS g
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT m FROM maxlen))) AS k) s
+  WHERE s.k <= length(d.text) - 4
+),
+shcnt AS (SELECT doc_id, count(*)::BIGINT AS c FROM sh GROUP BY doc_id)
+"""
+
+_LANGS_SQL = {
+    "de": "('der','die','das','und','ist','nicht','ein')",
+    "en": "('the','a','and','of','to','is','in','that')",
+    "es": "('el','la','de','y','que','los','un')",
+    "fr": "('le','la','de','et','les','des','un')",
+}
+
+_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_NTOKENS = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = ", ".join(
+        f"len(list_filter({_TOKENS}, x -> x IN {words})) AS c_{lang}"
+        for lang, words in _LANGS_SQL.items()
+    )
+    return {
+        "pages_meta": """
+SELECT printf('https://pages.example/p/%08d', doc_id) AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+       text, lang
+FROM documents""",
+        "text_invariant": "SELECT count(*)::BIGINT AS n_pages, 0::BIGINT AS n_mismatch FROM documents",
+        "vertices": f"WITH {_GRAPH_CTES} SELECT id, url FROM verts",
+        "edges": f"WITH {_GRAPH_CTES} SELECT src, dst FROM edges",
+        "outdegree": f"WITH {_GRAPH_CTES} SELECT id, outdeg FROM outdeg_all",
+        "dangling": f"WITH {_GRAPH_CTES} SELECT id FROM outdeg_all WHERE outdeg = 0",
+        "matrix_stats": f"""WITH {_GRAPH_CTES}
+SELECT (SELECT v FROM nv) AS n_vertices,
+       (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+       (SELECT count(*)::BIGINT FROM outdeg_all WHERE outdeg = 0) AS n_dangling,
+       (SELECT max(outdeg) FROM outdeg_all) AS max_outdeg,
+       (SELECT max(c)::BIGINT FROM (SELECT count(*) AS c FROM edges GROUP BY dst)) AS max_indeg,
+       (SELECT round(max(s), 6) FROM (
+          SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.dst)) AS norm_1,
+       (SELECT round(max(s), 6) FROM (
+          SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.src)) AS norm_inf""",
+        "pagerank": _pagerank_sql(PR_ITERS, pvec=False),
+        "pagerank_top20": _pagerank_sql(PR_ITERS, pvec=False).replace(
+            f"SELECT id, round(x, 6) AS score FROM pr{PR_ITERS}",
+            f"""SELECT row_number() OVER (ORDER BY round(x, 6) DESC, id ASC) AS rank,
+       id, round(x, 6) AS score
+FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
+        ),
+        "pagerank_pvec": _pagerank_sql(PR_PVEC_ITERS, pvec=True),
+        "connected_components": _cc_sql(CC_ITERS),
+        "component_sizes": _cc_sql(CC_ITERS).replace(
+            f"SELECT id, lab AS component FROM cc{CC_ITERS}",
+            f"SELECT lab AS component, count(*)::BIGINT AS n_vertices FROM cc{CC_ITERS} GROUP BY lab",
+        ),
+        "label_propagation": _lp_sql(LP_ITERS),
+        "triangle_count": f"""WITH {_GRAPH_CTES}
+SELECT count(*)::BIGINT AS n_triangles
+FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "exact_dedup": """
+SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)""",
+        "token_counts": f"SELECT doc_id, ({_NTOKENS})::BIGINT AS n_tokens FROM documents",
+        "quality_scores": f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_text,
+       ({_NTOKENS})::BIGINT AS n_tokens,
+       len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))::BIGINT AS n_stopwords,
+       (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS n_punct,
+       CASE WHEN ({_NTOKENS}) > 0
+            THEN round(len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))
+                       / ({_NTOKENS})::DOUBLE, 6)
+            ELSE 0.0 END AS stop_ratio
+FROM documents""",
+        "lang_id": f"""
+WITH scored AS (SELECT doc_id, {lang_counts} FROM documents)
+SELECT doc_id,
+       CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+            WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM scored""",
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "near_dup_jaccard": f"""WITH {_SHINGLE_CTES},
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT a AS id_a, b AS id_b,
+       round(inter / (ca.c + cb.c - inter)::DOUBLE, 6) AS jaccard
+FROM common JOIN shcnt ca ON a = ca.doc_id JOIN shcnt cb ON b = cb.doc_id
+WHERE inter / (ca.c + cb.c - inter)::DOUBLE >= {JACCARD_T}""",
+        "embedding_knn": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(c, 6) AS cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+  FROM sims
+) WHERE rank <= {KNN_K}""",
+        "embedding_near_dup": f"""
+SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+       round(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {EMB_NEAR_T}""",
+        "events_windowed": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    }

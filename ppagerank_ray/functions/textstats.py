@@ -1,0 +1,112 @@
+"""Text-analysis operators over the documents table — vectorized map_batches.
+
+Training-data-pipeline operators (no reference analogue; the reference's only
+scalar functions are split_filename/lowercase, util/string.hpp:11-57). All
+are deterministic pure functions of the text so they are SQL-oracle-checkable
+(see __ray_entry__.oracle_sql): token counts, quality ratios, a
+stopword-profile language guesser, and an md5 document fingerprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+# Fixed stopword profiles; scoring order is the tie-break order (first max
+# wins) and must match the CASE cascade in the SQL oracle.
+LANG_PROFILES: list[tuple[str, frozenset]] = [
+    ("de", frozenset(["der", "die", "das", "und", "ist", "nicht", "ein"])),
+    ("en", frozenset(["the", "a", "and", "of", "to", "is", "in", "that"])),
+    ("es", frozenset(["el", "la", "de", "y", "que", "los", "un"])),
+    ("fr", frozenset(["le", "la", "de", "et", "les", "des", "un"])),
+]
+
+STOPWORDS = frozenset(["the", "a", "and", "of", "to", "in"])
+PUNCT = frozenset(".,!?;:")
+
+
+def _tokens(text: str) -> list[str]:
+    return text.split()
+
+
+def token_counts_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    n = np.fromiter((len(_tokens(x)) for x in texts), dtype=np.int64, count=len(texts))
+    return pa.Table.from_pydict({"doc_id": t["doc_id"], "n_tokens": n})
+
+
+def token_counts(docs: rd.Dataset) -> rd.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        token_counts_batch, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def quality_scores_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    n_chars = np.empty(len(texts), np.int64)
+    n_tokens = np.empty(len(texts), np.int64)
+    n_stop = np.empty(len(texts), np.int64)
+    n_punct = np.empty(len(texts), np.int64)
+    ratio = np.empty(len(texts), np.float64)
+    for i, x in enumerate(texts):
+        toks = _tokens(x)
+        n_chars[i] = len(x)
+        n_tokens[i] = len(toks)
+        n_stop[i] = sum(1 for w in toks if w in STOPWORDS)
+        n_punct[i] = sum(1 for c in x if c in PUNCT)
+        ratio[i] = round(n_stop[i] / n_tokens[i], 6) if toks else 0.0
+    return pa.Table.from_pydict(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars_text": n_chars,
+            "n_tokens": n_tokens,
+            "n_stopwords": n_stop,
+            "n_punct": n_punct,
+            "stop_ratio": ratio,
+        }
+    )
+
+
+def quality_scores(docs: rd.Dataset) -> rd.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        quality_scores_batch, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def lang_id_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    preds = []
+    for x in texts:
+        toks = _tokens(x)
+        best_lang, best_score = LANG_PROFILES[0][0], -1
+        for lang, words in LANG_PROFILES:
+            score = sum(1 for w in toks if w in words)
+            if score > best_score:  # strict > ⇒ first-listed lang wins ties
+                best_lang, best_score = lang, score
+        preds.append(best_lang)
+    return pa.Table.from_pydict(
+        {"doc_id": t["doc_id"], "lang_pred": pa.array(preds, type=pa.string())}
+    )
+
+
+def lang_id(docs: rd.Dataset) -> rd.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow", batch_size=8192
+    )
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    texts = t["text"].to_pylist()
+    fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+    return pa.Table.from_pydict(
+        {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
+    )
+
+
+def fingerprints(docs: rd.Dataset) -> rd.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", batch_size=8192
+    )

@@ -1,0 +1,176 @@
+"""Training-data operators: dedup, text analysis, similarity, multimodal."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ppagerank_ray.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    near_dup_pairs,
+    shingle_hashes,
+    simhashes,
+)
+from ppagerank_ray.functions.similarity import ann_lsh, knn_bruteforce
+from ppagerank_ray.functions.textstats import lang_id, quality_scores, token_counts
+
+
+def _docs_ds(sf):
+    return rd.read_parquet(f"{sf}/documents.parquet")
+
+
+def _emb_ds(sf):
+    return rd.read_parquet(f"{sf}/embeddings.parquet")
+
+
+def _texts(sf):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def test_exact_dedup_with_injected_duplicates():
+    texts = ["aaa bbb", "ccc ddd", "aaa bbb", "eee", "aaa bbb"]
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"doc_id": list(range(5)), "text": texts})
+    )
+    out = exact_dedup(ds).to_pandas().sort_values("keep_id").reset_index(drop=True)
+    assert list(out["keep_id"]) == [0, 1, 3]
+    assert list(out["n_copies"]) == [3, 1, 1]
+
+
+def test_minhash_lsh_recall_is_total_on_fixture(sf_small):
+    """With the fixed seed, LSH candidates must contain every true pair with
+    Jaccard ≥ 0.7 (deterministic — not a probabilistic statement)."""
+    texts = _texts(sf_small)
+    sh = {i: set(shingle_hashes(t).tolist()) for i, t in texts.items()}
+    true_pairs = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.7:
+            true_pairs.add((a, b))
+    assert len(true_pairs) > 0  # fixture really contains near-dups
+    cand = lsh_candidate_pairs(_docs_ds(sf_small)).to_pandas()
+    cand_pairs = set(zip(cand["id_a"], cand["id_b"]))
+    assert true_pairs <= cand_pairs
+
+
+def test_near_dup_pairs_match_bruteforce(sf_small):
+    texts = _texts(sf_small)
+    sh = {i: set(shingle_hashes(t).tolist()) for i, t in texts.items()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter:
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
+            if j >= 0.7:
+                expected[(a, b)] = round(j, 6)
+    got = near_dup_pairs(_docs_ds(sf_small), threshold=0.7).to_pandas()
+    got_pairs = {
+        (a, b): j for a, b, j in zip(got["id_a"], got["id_b"], got["jaccard"])
+    }
+    assert got_pairs == expected
+
+
+def test_simhash_near_dups_have_close_hashes(sf_small):
+    out = simhashes(_docs_ds(sf_small)).to_pandas()
+    sig = dict(zip(out["doc_id"], out["simhash"].astype(np.uint64)))
+    near = near_dup_pairs(_docs_ds(sf_small), threshold=0.8).to_pandas()
+    assert len(near) > 0
+    hd_near = [
+        bin(int(sig[a]) ^ int(sig[b])).count("1")
+        for a, b in zip(near["id_a"], near["id_b"])
+    ]
+    rng = np.random.default_rng(0)
+    ids = list(sig)
+    hd_rand = [
+        bin(int(sig[a]) ^ int(sig[b])).count("1")
+        for a, b in zip(rng.choice(ids, 200), rng.choice(ids, 200))
+        if a != b
+    ]
+    assert np.mean(hd_near) < np.mean(hd_rand) / 2  # near-dups ≪ random pairs
+
+
+def test_textstats_units():
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": [0, 1, 2], "text": ["the cat, and dog!", "", "der und das ist"]}
+        )
+    )
+    tok = token_counts(ds).to_pandas().sort_values("doc_id")
+    assert list(tok["n_tokens"]) == [4, 0, 4]
+    q = quality_scores(ds).to_pandas().sort_values("doc_id")
+    assert list(q["n_punct"]) == [2, 0, 0]
+    assert list(q["n_stopwords"]) == [2, 0, 0]  # 'the', 'and' ('cat,'/'dog!' ≠ bare)
+    lid = lang_id(ds).to_pandas().sort_values("doc_id")
+    assert list(lid["lang_pred"]) == ["en", "de", "de"]  # ties → first profile (de)
+
+
+def test_knn_matches_numpy_bruteforce(sf_small):
+    emb = _emb_ds(sf_small)
+    out = knn_bruteforce(emb, [0, 1, 2], k=5).to_pandas()
+    t = emb.to_pandas()
+    M = np.array(t["embedding"].tolist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in [0, 1, 2]:
+        qi = np.flatnonzero(ids == q)[0]
+        s = Mn @ Mn[qi]
+        s[qi] = -np.inf
+        order = np.lexsort((ids, -s))[:5]
+        sub = out[out["query_id"] == q].sort_values("rank")
+        assert list(sub["neighbor_id"]) == ids[order].tolist()
+        np.testing.assert_allclose(sub["cos"], np.round(s[order], 6), atol=1e-9)
+
+
+def test_ann_lsh_recall(sf_small):
+    emb = _emb_ds(sf_small)
+    exact = knn_bruteforce(emb, [0, 1, 2, 3, 4], k=10).to_pandas()
+    approx = ann_lsh(emb, [0, 1, 2, 3, 4], k=10).to_pandas()
+    hits = 0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a) / len(e)
+    assert hits / 5 >= 0.5  # approximate, but must beat random by far
+
+
+def test_media_features_plumbing(sf_small):
+    from ppagerank_ray.functions.multimodal import (
+        MediaFeatureExtractor,
+        media_features,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(_docs_ds(sf_small))
+    feats = media_features(media).to_pandas()
+    assert len(feats) == 500
+    assert set(feats["media_type"]) == {"image/fake", "audio/fake"}
+    f0 = np.array(feats["features"].iloc[0])
+    assert len(f0) == 8 and f0[0] > 0
+    # decode path is an explicit stub
+    ext = MediaFeatureExtractor(decode=True)
+    with pytest.raises(NotImplementedError):
+        ext(pa.Table.from_pydict({"media_id": [1], "media_type": ["x"], "payload": [b"y"]}))
+
+
+def test_runscript_shares_one_graph(sf_tiny):
+    from ppagerank_ray.pipelines.runscript import run_script
+
+    out = run_script(
+        sf_tiny,
+        [
+            {"alg": "power", "alpha": 0.95},
+            {"alg": "nosuchalg"},
+            {"alg": "power", "alpha": 0.85},
+        ],
+    ).to_pandas()
+    assert list(out["run"]) == [0, 1, 2]
+    assert out["iterations"].iloc[1] == -1  # unknown alg tolerated
+    assert bool(out["converged"].iloc[0]) and bool(out["converged"].iloc[2])
+    # α=0.95 needs more iterations than α=0.85 (spectral radius)
+    assert out["iterations"].iloc[0] > out["iterations"].iloc[2]
