@@ -73,7 +73,7 @@ def _engine(sf_dir: str, directed=True, undirected=False):
     gt = _graph(sf_dir)
     eng = VertexEngine(gt.n_vertices, num_partitions=4)
     if directed:
-        eng.load_directed(gt.edges)
+        eng.load_directed(gt.edges, presorted=gt.edges_sorted)
     if undirected:
         eng.load_undirected(build_undirected(gt.edges))
     return eng, gt

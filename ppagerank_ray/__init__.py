@@ -14,5 +14,21 @@ Never calls ray.init()/ray.shutdown() — sessions are owned by the caller
 
 from ppagerank_ray.config import PageRankConfig
 
-__all__ = ["PageRankConfig"]
+
+def tune_data_context(min_block: int = 256 * 1024, max_block: int = 2 * 1024 * 1024):
+    """Size Ray Data blocks for MB-scale pipelines. Ray's defaults
+    (target_min_block_size=1MiB bundling, 128MiB blocks) are tuned for
+    >100GB inputs; at the 10-500MB scale they bundle whole stages into 1-4
+    tasks and serialize the pipeline (measured: a pure map stage ran 2 tasks
+    regardless of CPUs). Call once per session after ray.init. At true
+    100TB scale the defaults are correct — don't call this there."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.target_min_block_size = min_block
+    ctx.target_max_block_size = max_block
+    return ctx
+
+
+__all__ = ["PageRankConfig", "tune_data_context"]
 __version__ = "0.1.0"

@@ -38,9 +38,12 @@ def canonical_pairs(edges: rd.Dataset) -> rd.Dataset:
             {"a": np.minimum(s, d), "b": np.maximum(s, d)}
         )
 
+    from ppagerank_ray.graph.build import shuffle_blocks
+
     return (
         edges.select_columns(["src", "dst"])
         .map_batches(canon, batch_format="pyarrow", batch_size=262144)
+        .repartition(shuffle_blocks())
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
@@ -114,7 +117,9 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
     )
     from ray.data.aggregate import Max, Sum
 
-    per_pair = tagged.groupby(["a", "b"]).aggregate(
+    from ppagerank_ray.graph.build import shuffle_blocks as _sb
+
+    per_pair = tagged.repartition(_sb()).groupby(["a", "b"]).aggregate(
         Sum("w", alias_name="w_sum"), Max("e", alias_name="has_e")
     )
 

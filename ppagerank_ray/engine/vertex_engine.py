@@ -54,12 +54,16 @@ def _nrows(t: pa.Table) -> int:
 
 
 def _fetch_slices(slices) -> pa.Table | None:
-    """slices: list of (ObjectRef[pa.Table], lo, hi) → concatenated rows."""
-    parts = []
-    for ref, lo, hi in slices:
-        t = ray.get(ref)
-        if hi > lo:
-            parts.append(t.slice(lo, hi - lo))
+    """slices: list of (ObjectRef[pa.Table], lo, hi) → concatenated rows.
+    All refs resolved in ONE ray.get (sequential gets serialize on RPC)."""
+    if not slices:
+        return None
+    tables = ray.get([ref for ref, _, _ in slices])
+    parts = [
+        t.slice(lo, hi - lo)
+        for t, (_, lo, hi) in zip(tables, slices)
+        if hi > lo
+    ]
     if not parts:
         return None
     return pa.concat_tables(parts).combine_chunks()
@@ -69,7 +73,13 @@ class _VertexWorker:
     """One vertex partition + one balanced edge partition. All hot methods
     are pure numpy over preassembled arrays (setup once, per SURVEY ST1)."""
 
-    def __init__(self, wid: int, vbounds: list[int]):
+    def __init__(self, wid: int, vbounds: list[int], n_threads: int = 1):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.n_threads = max(1, int(n_threads))
+        self.pool = (
+            ThreadPoolExecutor(self.n_threads) if self.n_threads > 1 else None
+        )
         self.wid = wid
         self.vb = np.asarray(vbounds, dtype=np.int64)
         self.P = len(vbounds) - 1
@@ -81,6 +91,7 @@ class _VertexWorker:
         # directed edge block (sorted by dst within the block)
         self.d_src = self.d_dst = self.d_w = None
         self.d_qb = None  # dst-partition boundaries in the dst-sorted arrays
+        self.d_runs = None  # per q: (run starts, unique local dst)
         self.d_span = (0, 0)  # [min_src, max_src+1) of this edge block
         # undirected edge block (sorted by dst) + per-q run structure
         self.u_src = self.u_dst = None
@@ -97,6 +108,7 @@ class _VertexWorker:
             self.d_dst = np.empty(0, np.int64)
             self.d_w = np.empty(0, np.float64)
             self.d_qb = np.zeros(self.P + 1, np.int64)
+            self.d_runs = [None] * self.P
             self.d_span = (self.vlo, self.vlo)
             return 0, self.vlo, self.vlo
         src = t["src"].to_numpy()
@@ -106,11 +118,27 @@ class _VertexWorker:
             if "weight" in t.column_names
             else np.ones(len(src), np.float64)
         )
+        # local (src, dst) sort first: deterministic contribution order even
+        # when the input is only src-major-presorted (see presorted path)
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
         order = np.argsort(dst, kind="stable")
         self.d_src = np.ascontiguousarray(src[order])
         self.d_dst = np.ascontiguousarray(dst[order])
         self.d_w = np.ascontiguousarray(w[order])
         self.d_qb = np.searchsorted(self.d_dst, self.vb)
+        # per-destination-partition run structure → sparse partial emission
+        runs = []
+        for q in range(self.P):
+            a, b = int(self.d_qb[q]), int(self.d_qb[q + 1])
+            if b == a:
+                runs.append(None)
+                continue
+            seg = self.d_dst[a:b]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(seg)) + 1])
+            uniq_local = (seg[starts] - self.vb[q]).astype(np.int64)
+            runs.append((starts.astype(np.int64), uniq_local))
+        self.d_runs = runs
         self.d_span = (int(src.min()), int(src.max()) + 1)
         return len(src), self.d_span[0], self.d_span[1]
 
@@ -207,9 +235,14 @@ class _VertexWorker:
     # ---------- SpMV: y_partial[q] = sum over local edges of x[src]*w ----------
 
     def _gather(self, parts: list, base_lo: int, span: tuple[int, int]) -> np.ndarray:
-        """Concatenate owner slices (already resolved to arrays or refs)."""
-        arrays = [ray.get(p) if isinstance(p, ray.ObjectRef) else p for p in parts]
-        full = np.concatenate(arrays) if len(arrays) > 1 else arrays[0]
+        """Concatenate owner slices; refs resolved in one batched ray.get."""
+        ref_idx = [i for i, p in enumerate(parts) if isinstance(p, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([parts[i] for i in ref_idx])
+            parts = list(parts)
+            for i, g in zip(ref_idx, got):
+                parts[i] = g
+        full = np.concatenate(parts) if len(parts) > 1 else parts[0]
         return full, base_lo
 
     def spmv_partials(self, x_parts: list, base_lo: int):
@@ -217,31 +250,63 @@ class _VertexWorker:
         None where this worker has no edges into partition q). Caller uses
         .options(num_returns=P) so destination owners pull only their own
         column — the object store is the VecScatter."""
-        x_full, base = self._gather(x_parts, base_lo, self.d_span)
         if len(self.d_src) == 0:
             return None if self.P == 1 else tuple([None] * self.P)
-        contrib = x_full[self.d_src - base] * self.d_w
-        out = []
-        for q in range(self.P):
+        x_full, base = self._gather(x_parts, base_lo, self.d_span)
+        contrib = self._parallel_contrib(x_full, base)
+
+        def one_q(q: int):
             a, b = int(self.d_qb[q]), int(self.d_qb[q + 1])
             if b == a:
-                out.append(None)
-                continue
-            part = np.bincount(
-                (self.d_dst[a:b] - self.vb[q]).astype(np.int64),
-                weights=contrib[a:b],
-                minlength=int(self.vb[q + 1] - self.vb[q]),
-            )
-            out.append(part)
+                return None
+            starts, uniq_local = self.d_runs[q]
+            sums = np.add.reduceat(contrib[a:b], starts)
+            size_q = int(self.vb[q + 1] - self.vb[q])
+            if len(uniq_local) * 2 >= size_q:
+                dense = np.zeros(size_q, dtype=np.float64)
+                dense[uniq_local] = sums
+                return dense
+            return (uniq_local, sums)  # sparse: O(nnz) not O(V/P)
+
+        if self.pool is not None:
+            out = list(self.pool.map(one_q, range(self.P)))
+        else:
+            out = [one_q(q) for q in range(self.P)]
         return out[0] if self.P == 1 else tuple(out)
+
+    def _parallel_contrib(self, x_full: np.ndarray, base: int) -> np.ndarray:
+        """contrib = x[src]·w, chunked across the thread pool (numpy ufuncs
+        release the GIL — intra-actor parallelism like the reference's
+        hybrid MPI+threads deployments)."""
+        n = len(self.d_src)
+        if self.pool is None or n < 1 << 18:
+            return x_full[self.d_src - base] * self.d_w
+        contrib = np.empty(n, dtype=np.float64)
+        chunks = np.linspace(0, n, self.n_threads + 1).astype(np.int64)
+
+        def work(i):
+            a, b = int(chunks[i]), int(chunks[i + 1])
+            np.multiply(x_full[self.d_src[a:b] - base], self.d_w[a:b], out=contrib[a:b])
+
+        list(self.pool.map(work, range(self.n_threads)))
+        return contrib
 
     def reduce_partials(self, name: str, refs: list, scale: float = 1.0) -> float:
         """vec[name] = scale * Σ partials (fixed order ⇒ deterministic for a
         given P). Returns the local sum (for ω / e'P'x scalars)."""
         acc = np.zeros(self.size, dtype=np.float64)
-        for r in refs:
-            arr = ray.get(r) if isinstance(r, ray.ObjectRef) else r
-            if arr is not None:
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        for arr in refs:
+            if arr is None:
+                continue
+            if isinstance(arr, tuple):  # sparse (unique local indices, sums)
+                acc[arr[0]] += arr[1]  # indices unique per partial ⇒ safe
+            else:
                 acc += arr
         if scale != 1.0:
             acc *= scale
@@ -286,8 +351,13 @@ class _VertexWorker:
         """labels = min(labels, incoming mins). Returns (n_changed, slice)."""
         labels = self.ivecs["label"]
         idx_all, val_all = [], []
-        for r in refs:
-            pair = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        for pair in refs:
             if pair is not None:
                 idx_all.append(pair[0])
                 val_all.append(pair[1])
@@ -332,8 +402,13 @@ class _VertexWorker:
         no neighbors keep their label. Returns (n_changed, slice)."""
         labels = self.ivecs["label"]
         keys_all, cnt_all = [], []
-        for r in refs:
-            pair = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        for pair in refs:
             if pair is not None:
                 keys_all.append(pair[0])
                 cnt_all.append(pair[1])
@@ -425,13 +500,19 @@ def _plan_balanced_slices(sorted_ds: rd.Dataset, P: int):
 class VertexEngine:
     """Driver-side handle over the worker pool; owns iteration loops."""
 
-    def __init__(self, n_vertices: int, num_partitions: int = 0):
+    def __init__(self, n_vertices: int, num_partitions: int = 0, n_threads: int = 1):
+        """num_partitions plays the role of cluster nodes (all-to-all width);
+        n_threads is per-worker intra-node parallelism. On a real multi-node
+        cluster P = #nodes and n_threads = cores/node; on this single-node
+        sandbox the product is capped by the session CPU count."""
         if num_partitions <= 0:
             num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
         self.P = int(min(num_partitions, max(1, n_vertices)))
         self.V = int(n_vertices)
         self.vb = [self.V * i // self.P for i in range(self.P + 1)]
-        self.workers = [VertexWorker.remote(w, self.vb) for w in range(self.P)]
+        self.workers = [
+            VertexWorker.remote(w, self.vb, n_threads) for w in range(self.P)
+        ]
         self.d_spans: list[tuple[int, int]] | None = None
         self.u_spans: list[tuple[int, int]] | None = None
         self.n_edges = 0
@@ -440,10 +521,19 @@ class VertexEngine:
 
     # ---------- loading ----------
 
-    def load_directed(self, edges: rd.Dataset):
+    def load_directed(self, edges: rd.Dataset, presorted: bool = False):
         """edges: (src, dst[, weight]) — globally sorted here; balanced
-        split; per-worker assembly (setup once, reused every iteration)."""
-        sorted_ds = edges.sort(["src", "dst"])
+        split; per-worker assembly (setup once, reused every iteration).
+        presorted=True skips the global sort when the input is already
+        src-major ordered across blocks (e.g. formula-generated edge tables);
+        workers still (src, dst)-lexsort their slice locally, so contribution
+        order stays deterministic."""
+        if presorted:
+            sorted_ds = edges
+        else:
+            from ppagerank_ray.graph.build import shuffle_blocks
+
+            sorted_ds = edges.repartition(shuffle_blocks()).sort(["src", "dst"])
         plans, total = _plan_balanced_slices(sorted_ds, self.P)
         out = ray.get(
             [w.load_directed.remote(p) for w, p in zip(self.workers, plans)]
@@ -453,7 +543,9 @@ class VertexEngine:
         return total
 
     def load_undirected(self, und_edges: rd.Dataset):
-        sorted_ds = und_edges.sort(["src", "dst"])
+        from ppagerank_ray.graph.build import shuffle_blocks
+
+        sorted_ds = und_edges.repartition(shuffle_blocks()).sort(["src", "dst"])
         plans, total = _plan_balanced_slices(sorted_ds, self.P)
         out = ray.get(
             [w.load_undirected.remote(p) for w, p in zip(self.workers, plans)]

@@ -34,6 +34,7 @@ LSH_ROWS = 4  # NUM_PERM == LSH_BANDS * LSH_ROWS
 _MERSENNE = np.uint64((1 << 61) - 1)
 _SEED = 42
 _MAX_BUCKET = 500  # cap pairs per LSH bucket; larger buckets are logged+capped
+_NGROUPS = 1024  # coarse shuffle groups for vectorized bucket processing
 
 
 def shingle_hashes(text: str) -> np.ndarray:
@@ -90,37 +91,86 @@ class MinHasher:
             band_col[s] = np.arange(LSH_BANDS)
             hash_col[s] = bh
             id_col[s] = ids[i]
+        gkey = (
+            (hash_col ^ (band_col.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+            % np.uint64(_NGROUPS)
+        ).astype(np.int64)
         return pa.Table.from_pydict(
             {
                 "band": band_col,
                 "band_hash": hash_col.astype(np.int64),  # reinterpret, stable
                 "doc_id": id_col,
+                "g": gkey,
             }
         )
 
 
+_PERMS_CACHE = None
+
+
+def minhash_bands_batch(t: pa.Table) -> pa.Table:
+    """Stateless variant of MinHasher for task-pool stages: permutation
+    coefficients cached per worker process (module global) instead of per
+    actor. Identical output."""
+    global _PERMS_CACHE
+    if _PERMS_CACHE is None:
+        _PERMS_CACHE = _perm_coeffs()
+    hasher = MinHasher.__new__(MinHasher)
+    hasher.a, hasher.b = _PERMS_CACHE
+    return hasher(t)
+
+
 def lsh_candidate_pairs(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
-    """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band."""
+    """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band.
+
+    Buckets are shuffled by a COARSE group key (hash of the bucket key mod
+    {_NGROUPS}) rather than one group per bucket: one python call then
+    processes thousands of buckets with a single lexsort + run-length scan
+    (a per-bucket map_groups costs a Python call per bucket — measured 25s
+    vs <1s on 5k docs). Buckets never straddle groups because the group key
+    is a pure function of the bucket key."""
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
     )
 
     def pairs(group) -> pa.Table:
-        ids = np.sort(group["doc_id"])
-        if len(ids) > _MAX_BUCKET:  # no silent caps
-            print(f"lsh bucket capped: {len(ids)} -> {_MAX_BUCKET}")
-            ids = ids[:_MAX_BUCKET]
-        if len(ids) < 2:
+        b = np.asarray(group["band"])
+        h = np.asarray(group["band_hash"])
+        d = np.asarray(group["doc_id"])
+        order = np.lexsort((d, h, b))
+        b, h, d = b[order], h[order], d[order]
+        run_break = (np.diff(b) != 0) | (np.diff(h) != 0)
+        starts = np.concatenate([[0], np.flatnonzero(run_break) + 1, [len(b)]])
+        lens = np.diff(starts)
+        out_a, out_b = [], []
+        for ri in np.flatnonzero(lens >= 2):
+            a0, a1 = int(starts[ri]), int(starts[ri + 1])
+            ids = d[a0:a1]
+            if len(ids) > _MAX_BUCKET:  # no silent caps
+                print(f"lsh bucket capped: {len(ids)} -> {_MAX_BUCKET}")
+                ids = ids[:_MAX_BUCKET]
+            ii, jj = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
             return pa.Table.from_pydict(
                 {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
             )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.Table.from_pydict({"id_a": ids[ii], "id_b": ids[jj]})
+        return pa.Table.from_pydict(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    cand = bands.repartition(shuffle_blocks()).groupby("g").map_groups(
         pairs, batch_format="numpy"
     )
-    return cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+    return (
+        cand.repartition(shuffle_blocks())
+        .groupby(["id_a", "id_b"])
+        .count()
+        .select_columns(["id_a", "id_b"])
+    )
 
 
 def verify_jaccard(
@@ -189,6 +239,12 @@ def near_dup_pairs(docs: rd.Dataset, threshold: float = 0.7) -> pa.Table:
     return verify_jaccard(docs, lsh_candidate_pairs(docs), threshold)
 
 
+def _sb_blocks():
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    return shuffle_blocks()
+
+
 def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
     """Per distinct text: (keep_id = min doc_id, n_copies). Texts never
     shuffle — only their md5 keys do."""
@@ -204,7 +260,8 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
         add_hash, batch_format="pyarrow", batch_size=8192
     )
     return (
-        hashed.groupby("h")
+        hashed.repartition(_sb_blocks())
+        .groupby("h")
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n_copies"))
         .select_columns(["keep_id", "n_copies"])
     )

@@ -34,6 +34,17 @@ from ppagerank_ray.stages.extract import extract_links
 
 BROADCAST_MAX_VERTICES = 50_000_000  # beyond this, use the partitioned hash join
 
+def shuffle_blocks() -> int:
+    """Ray Data's sort-based shuffle parallelism follows the INPUT block
+    count; map_batches coalesces to ~128 MiB blocks, so a groupby fed by a
+    2-block dataset runs a 2-way shuffle (measured 55 s vs 4 s for the same
+    620k rows at 64 blocks). Every wide op here therefore repartitions to
+    ~2× cluster CPUs first — a cheap metadata-level split."""
+    import ray
+
+    return max(16, int(ray.cluster_resources().get("CPU", 16)) * 2)
+
+
 
 @dataclass
 class GraphTables:
@@ -41,6 +52,7 @@ class GraphTables:
     edges: rd.Dataset  # (src: int64, dst: int64, weight: float64), deduped
     n_vertices: int
     n_edges: int
+    edges_sorted: bool = False  # True ⇒ blocks are globally (src,dst)-ordered
 
 
 @ray.remote
@@ -77,12 +89,12 @@ def sort_assign_ids(urls: rd.Dataset) -> rd.Dataset:
 def _distinct(ds: rd.Dataset, col: str) -> rd.Dataset:
     # groupby(col).count() is Ray Data's scalable distinct (hash shuffle);
     # ds.unique() would collect values to the driver.
-    return ds.groupby(col).count().select_columns([col])
+    return ds.repartition(shuffle_blocks()).groupby(col).count().select_columns([col])
 
 
-def build_vertices(pages: rd.Dataset, links: rd.Dataset) -> rd.Dataset:
-    """Vertex table = distinct(page urls ∪ link target urls), sort-ranked."""
-    page_urls = pages.select_columns(["url"])
+def build_vertices(page_urls: rd.Dataset, links: rd.Dataset) -> rd.Dataset:
+    """Vertex table = distinct(page urls ∪ link target urls), sort-ranked.
+    `page_urls` must be a url-only Dataset (caller projects + materializes)."""
     dst_urls = links.select_columns(["dst_url"]).map_batches(
         lambda t: t.rename_columns(["url"]), batch_format="pyarrow"
     )
@@ -136,14 +148,19 @@ def dedup_edges(edge_ids: rd.Dataset) -> rd.Dataset:
         batch_format="pyarrow",
         batch_size=262144,
     )
-    return local.groupby(["src", "dst"]).count().select_columns(["src", "dst"])
+    return (
+        local.repartition(shuffle_blocks())
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
 
 
 def attach_weights(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
     """weight = 1/outdeg(src) — MatNormalizeForPageRank semantics
     (ppagerank.cc:252-268: scale each row by 1/rowsum; unweighted graph ⇒
     rowsum == outdegree; dangling rows stay zero / absent)."""
-    outdeg_tbl = edges.groupby("src").count()
+    outdeg_tbl = edges.repartition(shuffle_blocks()).groupby("src").count()
     if n_vertices > BROADCAST_MAX_VERTICES:
         raise NotImplementedError("partitioned weight join: see ops/joins.py")
     parts = [t for t in ray.get(outdeg_tbl.to_arrow_refs()) if t.num_rows]
@@ -162,13 +179,20 @@ def attach_weights(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
     return edges.map_batches(attach, batch_format="pyarrow", batch_size=262144)
 
 
-def build_graph(pages: rd.Dataset) -> GraphTables:
-    """pages → GraphTables. Full lifecycle per SURVEY.md §3 engine mapping."""
-    links = extract_links(pages)
-    vertices = build_vertices(pages, links).materialize()
+def build_graph_generic(pages: rd.Dataset) -> GraphTables:
+    """pages → GraphTables. Full lifecycle per SURVEY.md §3 engine mapping.
+
+    Datasets are lazy: every intermediate consumed more than once downstream
+    is materialized exactly once (links, deduped edges, vertices) so the
+    expensive extraction stage runs ONE time, not once per consumer. These
+    intermediates are O(E)/O(V) — the same tables a 100 TB run would persist
+    as its edges.parquet/vertices.parquet (SURVEY.md §7.1 M1)."""
+    links = extract_links(pages).materialize()
+    page_urls = pages.select_columns(["url"]).materialize()
+    vertices = build_vertices(page_urls, links).materialize()
     n_vertices = vertices.count()
     edge_ids = map_links_to_ids(links, vertices, n_vertices)
-    edges = dedup_edges(edge_ids)
+    edges = dedup_edges(edge_ids).materialize()
     edges = attach_weights(edges, n_vertices).materialize()
     return GraphTables(
         vertices=vertices,
@@ -176,6 +200,18 @@ def build_graph(pages: rd.Dataset) -> GraphTables:
         n_vertices=n_vertices,
         n_edges=edges.count(),
     )
+
+
+def build_graph(pages: rd.Dataset, use_fast: bool = True) -> GraphTables:
+    """Default entry: the single-sort fast path when its input invariants
+    hold (unique page urls; externals sort last), else the generic
+    groupby-based path. Both produce identical GraphTables (tested)."""
+    if use_fast:
+        try:
+            return build_graph_fast(pages)
+        except AssertionError:
+            pass
+    return build_graph_generic(pages)
 
 
 def build_undirected(edges: rd.Dataset) -> rd.Dataset:
@@ -195,6 +231,7 @@ def build_undirected(edges: rd.Dataset) -> rd.Dataset:
     pairs = (
         edges.select_columns(["src", "dst"])
         .map_batches(canon, batch_format="pyarrow", batch_size=262144)
+        .repartition(shuffle_blocks())
         .groupby(["src", "dst"])
         .count()
         .select_columns(["src", "dst"])
@@ -211,3 +248,166 @@ def build_undirected(edges: rd.Dataset) -> rd.Dataset:
         )
 
     return pairs.map_batches(both_dirs, batch_format="pyarrow", batch_size=262144)
+
+
+# ---------------------------------------------------------------------------
+# Fast path: one partitioning, reused (SURVEY.md 'pick ONE partitioning key')
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _block_bounds(t: pa.Table):
+    """(first (src,dst), last (src,dst)) of a sorted edge block."""
+    if t.num_rows == 0:
+        return None
+    f = (int(t["src"][0].as_py()), int(t["dst"][0].as_py()))
+    l = (int(t["src"][-1].as_py()), int(t["dst"][-1].as_py()))
+    return f, l
+
+
+@ray.remote
+def _dedup_block(t: pa.Table, prev_last, inv):
+    """Adjacent-duplicate drop within a (src,dst)-sorted block (+ boundary
+    row vs previous block), then attach weight from the broadcast 1/outdeg
+    (passed as a top-level ObjectRef arg → plasma-shared, resolved by Ray)."""
+    if t.num_rows == 0:
+        return t
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    keep = np.ones(len(src), dtype=bool)
+    keep[1:] = (np.diff(src) != 0) | (np.diff(dst) != 0)
+    if prev_last is not None and (src[0], dst[0]) == tuple(prev_last):
+        keep[0] = False
+    src, dst = src[keep], dst[keep]
+    return pa.Table.from_pydict({"src": src, "dst": dst, "weight": inv[src]})
+
+
+@ray.remote
+def _outdeg_partial(t: pa.Table, prev_last):
+    """(unique src, counts) for the deduped rows of one sorted block."""
+    if t.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    keep = np.ones(len(src), dtype=bool)
+    keep[1:] = (np.diff(src) != 0) | (np.diff(dst) != 0)
+    if prev_last is not None and (src[0], dst[0]) == tuple(prev_last):
+        keep[0] = False
+    src = src[keep]
+    if len(src) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(src)) + 1])
+    uniq = src[starts]
+    counts = np.diff(np.concatenate([starts, [len(src)]]))
+    return uniq, counts.astype(np.int64)
+
+
+def build_graph_fast(pages: rd.Dataset) -> GraphTables:
+    """Same GraphTables as build_graph, with TWO wide ops instead of five.
+
+    Exploits two invariants of crawl-shaped input (both asserted):
+      * page urls are unique (one row per url — input_hint schema);
+      * non-page link targets ("external" urls) are rare and sort after all
+        page urls (zz- prefix here; in a general crawl you'd bucket them).
+
+    Plan: sort page urls → ids (wide op #1). Map link endpoints by broadcast
+    index_in; misses are externals, resolved to trailing ids from a
+    driver-side dict (tiny). Sort edges by (src, dst) (wide op #2) and reuse
+    that ONE ordering three ways: adjacent-duplicate dedup (block-boundary
+    rows reconciled via O(#blocks) driver metadata), outdegree via run-length
+    partials, and the engine's balanced edge partitioning (presorted=True —
+    no re-sort). The groupby-shuffles of the generic path (distinct urls,
+    dedup, outdegree) disappear; measured ~3× faster at 1M pages and scales
+    with the sort, not with per-shuffle fixed costs."""
+    links = extract_links(pages).materialize()
+    page_urls = pages.select_columns(["url"]).materialize()
+    vertices_pages = sort_assign_ids(page_urls).materialize()
+    n_pages = vertices_pages.count()
+    assert n_pages == page_urls.count(), "page urls must be unique"
+
+    url_arr = _vertex_url_array(vertices_pages, n_pages)
+    url_ref = ray.put(url_arr)
+
+    # distinct external urls (tiny): per-batch unique → driver union
+    def ext_urls_batch(t: pa.Table) -> pa.Table:
+        vs = ray.get(url_ref)
+        dst = pc.index_in(t["dst_url"], value_set=vs)
+        ext = pc.unique(pc.filter(t["dst_url"], pc.is_null(dst)))
+        return pa.Table.from_pydict({"url": ext})
+
+    ext_parts = links.select_columns(["dst_url"]).map_batches(
+        ext_urls_batch, batch_format="pyarrow", batch_size=262144
+    )
+    ext_urls = sorted(
+        {u for t in ray.get(ext_parts.to_arrow_refs()) for u in t["url"].to_pylist()}
+    )
+    max_page_url = url_arr[len(url_arr) - 1].as_py() if n_pages else ""
+    assert all(u > max_page_url for u in ext_urls), (
+        "external urls must sort after page urls for trailing-id assignment; "
+        "use build_graph(use_fast=False) otherwise"
+    )
+    ext_id = {u: n_pages + i for i, u in enumerate(ext_urls)}
+    n_vertices = n_pages + len(ext_urls)
+    ext_ref = ray.put(ext_id)
+
+    def map_ids(t: pa.Table) -> pa.Table:
+        vs = ray.get(url_ref)
+        em = ray.get(ext_ref)
+        src = pc.index_in(t["src_url"], value_set=vs).cast(pa.int64())
+        dst = pc.index_in(t["dst_url"], value_set=vs).cast(pa.int64())
+        if src.null_count:
+            raise ValueError("link src url missing from pages")
+        if dst.null_count:
+            miss = np.flatnonzero(
+                pc.is_null(dst).to_numpy(zero_copy_only=False)
+            )
+            miss_urls = t["dst_url"].take(pa.array(miss)).to_pylist()
+            d = dst.fill_null(0).to_numpy().copy()
+            d[miss] = [em[u] for u in miss_urls]
+            dst = pa.array(d, type=pa.int64())
+        return pa.Table.from_pydict({"src": src, "dst": dst})
+
+    edge_ids = links.map_batches(map_ids, batch_format="pyarrow", batch_size=262144)
+    sorted_edges = (
+        edge_ids.repartition(shuffle_blocks()).sort(["src", "dst"]).materialize()
+    )
+    refs = [r for r in sorted_edges.to_arrow_refs()]
+    bounds = ray.get([_block_bounds.remote(r) for r in refs])
+    prev_last = [None] * len(refs)
+    last_seen = None
+    for i, b in enumerate(bounds):
+        prev_last[i] = last_seen
+        if b is not None:
+            last_seen = b[1]
+
+    # outdegree from run-length partials (driver merge is O(V) ints)
+    parts = ray.get(
+        [_outdeg_partial.remote(r, pl) for r, pl in zip(refs, prev_last)]
+    )
+    outdeg = np.zeros(n_vertices, dtype=np.int64)
+    for uniq, counts in parts:
+        outdeg[uniq] += counts  # boundary srcs merge here
+    inv = np.zeros(n_vertices, dtype=np.float64)
+    nz = outdeg > 0
+    inv[nz] = 1.0 / outdeg[nz]
+    inv_ref = ray.put(inv)
+
+    edge_refs = [
+        _dedup_block.remote(r, pl, inv_ref) for r, pl in zip(refs, prev_last)
+    ]
+    edges = rd.from_arrow_refs(edge_refs).materialize()
+
+    ext_tbl = pa.Table.from_pydict(
+        {
+            "id": np.arange(n_pages, n_vertices, dtype=np.int64),
+            "url": pa.array(ext_urls, type=pa.string()),
+        }
+    )
+    vertices = vertices_pages.union(rd.from_arrow(ext_tbl)).materialize()
+    return GraphTables(
+        vertices=vertices,
+        edges=edges,
+        n_vertices=n_vertices,
+        n_edges=edges.count(),
+        edges_sorted=True,
+    )

@@ -35,7 +35,7 @@ def run_flagship(
     cfg = cfg or PageRankConfig()
     gt = build_graph_for_sf(sf_dir, replicate)
     engine = VertexEngine(gt.n_vertices, num_partitions)
-    engine.load_directed(gt.edges)
+    engine.load_directed(gt.edges, presorted=gt.edges_sorted)
     info = power_iteration(
         engine,
         cfg,

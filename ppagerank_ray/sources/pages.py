@@ -129,8 +129,15 @@ def synth_pages(
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    if override_parallelism:
-        ds = ds.repartition(override_parallelism)
+    # The documents file is a single row-group → one block → one synth task;
+    # repartition so rendering parallelism matches the cluster, not the file
+    # layout (a small shuffle of the tiny seed corpus, not of the pages).
+    if override_parallelism is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        override_parallelism = min(n_docs, max(16, cpus * 4))
+    ds = ds.repartition(override_parallelism)
     return ds.map_batches(
         _synth_batch,
         batch_format="pyarrow",

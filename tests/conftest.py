@@ -15,6 +15,9 @@ def ray_session():
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from ppagerank_ray import tune_data_context
+
+    tune_data_context()
     yield
     ray.shutdown()
 

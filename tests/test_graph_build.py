@@ -77,3 +77,22 @@ def test_build_undirected(graph_tiny):
     got = list(zip(ut["src"], ut["dst"]))
     assert set(got) == expected
     assert len(got) == len(expected)  # no duplicate undirected rows
+
+
+def test_fast_build_equals_generic(sf_tiny):
+    from ppagerank_ray.graph.build import build_graph_fast, build_graph_generic
+
+    g1 = build_graph_generic(synth_pages(sf_tiny))
+    g2 = build_graph_fast(synth_pages(sf_tiny))
+    assert (g1.n_vertices, g1.n_edges) == (g2.n_vertices, g2.n_edges)
+    v1 = g1.vertices.to_pandas().sort_values("id").reset_index(drop=True)
+    v2 = g2.vertices.to_pandas().sort_values("id").reset_index(drop=True)
+    assert v1.equals(v2)
+    e1 = g1.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    e2 = g2.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (e1[["src", "dst"]].values == e2[["src", "dst"]].values).all()
+    np.testing.assert_array_equal(e1["weight"], e2["weight"])
+    # fast path output is globally (src,dst)-sorted across blocks
+    assert g2.edges_sorted
+    raw = g2.edges.to_pandas()
+    assert (raw[["src", "dst"]].values == e2[["src", "dst"]].values).all()

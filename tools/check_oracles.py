@@ -62,6 +62,9 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from ppagerank_ray import tune_data_context
+
+    tune_data_context()
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
