@@ -124,9 +124,9 @@ def map_links_to_ids(
     a url that misses the vertex table would surface as a null here.
     """
     if n_vertices > BROADCAST_MAX_VERTICES:
-        raise NotImplementedError(
-            "partitioned hash-join id mapping: see ops/joins.py (wire-up TODO)"
-        )
+        from ppagerank_ray.ops.joins import map_links_via_hash_join
+
+        return map_links_via_hash_join(links, vertices)
     url_ref = ray.put(_vertex_url_array(vertices, n_vertices))
 
     def lookup(t: pa.Table) -> pa.Table:
@@ -162,7 +162,16 @@ def attach_weights(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
     rowsum == outdegree; dangling rows stay zero / absent)."""
     outdeg_tbl = edges.repartition(shuffle_blocks()).groupby("src").count()
     if n_vertices > BROADCAST_MAX_VERTICES:
-        raise NotImplementedError("partitioned weight join: see ops/joins.py")
+        from ppagerank_ray.ops.joins import hash_join
+
+        def inv_weight(t):
+            import pandas as pd
+
+            t["weight"] = 1.0 / t["count()"]
+            return t[["src", "dst", "weight"]]
+
+        joined = hash_join(edges, outdeg_tbl, "src", "src", how="inner")
+        return joined.map_batches(inv_weight, batch_format="pandas")
     parts = [t for t in ray.get(outdeg_tbl.to_arrow_refs()) if t.num_rows]
     outdeg = np.zeros(n_vertices, dtype=np.float64)
     for t in parts:

@@ -1,0 +1,121 @@
+"""Partitioned hash join — the both-sides-large path for url→id mapping.
+
+Ray Data 2.49 has no Dataset.join; the portable pattern (ray_guide 'Joins
+and lookups') is an explicit bucketed hash join: add `bucket = hash(key) % B`
+to both sides, shuffle each by bucket once, and merge matching buckets with
+vectorized pandas inside map_groups. B is the join parallelism knob; skewed
+hot keys can be salted into sub-buckets by raising B.
+
+Used by graph.build when the vertex table exceeds the broadcast threshold
+(BROADCAST_MAX_VERTICES) — at 10^12 documents the url→id map cannot live in
+one object, so both joins of SURVEY.md §2.4 (src_url, then dst_url) run as
+bucketed shuffles over the same bucket count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket: FNV-1a over utf-8 for strings (python hash() is
+    salted and unusable across processes), plain modulo for integers."""
+    if pa.types.is_integer(col.type):
+        return (col.to_numpy() % n_buckets).astype(np.int64)
+    out = np.empty(len(col), dtype=np.int64)
+    for i, v in enumerate(col.to_pylist()):
+        h = 0xCBF29CE484222325
+        for b in v.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h % n_buckets
+    return out
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_key: str,
+    right_key: str,
+    n_buckets: int = 64,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Join two Datasets on string keys via B-bucket co-shuffle.
+
+    Output columns = left columns + right columns minus right_key (pandas
+    merge semantics). One groupby shuffle over the union of both sides."""
+
+    def tag(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = _bucket_of(t[key], n_buckets)
+            return t.append_column("__bucket", pa.array(b)).append_column(
+                "__side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_key), batch_format="pyarrow")
+    rt = right.map_batches(tag(1, right_key), batch_format="pyarrow")
+    # union of heterogeneous schemas: pad each side with the other's columns
+    # (typed nulls, so the union schema is consistent)
+    lschema, rschema = left.schema().base_schema, right.schema().base_schema
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    types = {
+        **{n: lschema.field(n).type for n in lcols},
+        **{n: rschema.field(n).type for n in rcols},
+    }
+
+    def pad(missing: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            return t
+
+        return fn
+
+    lt = lt.map_batches(pad([c for c in rcols if c not in lcols]), batch_format="pyarrow")
+    rt = rt.map_batches(pad([c for c in lcols if c not in rcols]), batch_format="pyarrow")
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][lcols]
+        rf = g[g["__side"] == 1][rcols]
+        out = lf.merge(
+            rf, left_on=left_key, right_on=right_key, how=how, suffixes=("", "_r")
+        )
+        if right_key != left_key and right_key in out.columns:
+            out = out.drop(columns=[right_key])
+        return out
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+
+def map_links_via_hash_join(
+    links: rd.Dataset, vertices: rd.Dataset, n_buckets: int = 64
+) -> rd.Dataset:
+    """(src_url, dst_url) → (src, dst) via two bucketed joins against the
+    (id, url) vertex table — the >BROADCAST_MAX_VERTICES path."""
+    v = vertices.map_batches(
+        lambda t: t.rename_columns(["id", "url"]), batch_format="pyarrow"
+    )
+    j1 = hash_join(links, v, "src_url", "url", n_buckets)
+    j1 = j1.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"src": t["id"].to_numpy().astype("int64"), "dst_url": t["dst_url"]}
+        ),
+        batch_format="pandas",
+    )
+    j2 = hash_join(j1, v, "dst_url", "url", n_buckets)
+    return j2.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {
+                "src": t["src"].to_numpy().astype("int64"),
+                "dst": t["id"].to_numpy().astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

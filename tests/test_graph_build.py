@@ -96,3 +96,18 @@ def test_fast_build_equals_generic(sf_tiny):
     assert g2.edges_sorted
     raw = g2.edges.to_pandas()
     assert (raw[["src", "dst"]].values == e2[["src", "dst"]].values).all()
+
+
+def test_hash_join_matches_broadcast_mapping(sf_tiny):
+    """Force the >BROADCAST_MAX_VERTICES path and compare to broadcast."""
+    from ppagerank_ray.ops.joins import map_links_via_hash_join
+    from ppagerank_ray.stages.extract import extract_links
+
+    pages = synth_pages(sf_tiny)
+    gt = build_graph(pages)
+    links = extract_links(synth_pages(sf_tiny))
+    got = map_links_via_hash_join(links, gt.vertices, n_buckets=7).to_pandas()
+    got_pairs = sorted(zip(got["src"], got["dst"]))
+    et = gt.edges.to_pandas()
+    # hash-join output keeps duplicates; compare the deduped sets
+    assert sorted(set(got_pairs)) == sorted(zip(et["src"], et["dst"]))
