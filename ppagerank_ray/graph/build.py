@@ -237,13 +237,11 @@ def build_undirected(edges: rd.Dataset) -> rd.Dataset:
         hi = np.maximum(s, d)
         return pa.Table.from_pydict({"src": lo, "dst": hi})
 
-    pairs = (
+    pairs = sorted_dedup(
         edges.select_columns(["src", "dst"])
         .map_batches(canon, batch_format="pyarrow", batch_size=262144)
         .repartition(shuffle_blocks())
-        .groupby(["src", "dst"])
-        .count()
-        .select_columns(["src", "dst"])
+        .sort(["src", "dst"])
     )
 
     def both_dirs(t: pa.Table) -> pa.Table:
@@ -275,10 +273,10 @@ def _block_bounds(t: pa.Table):
 
 
 @ray.remote
-def _dedup_block(t: pa.Table, prev_last, inv):
+def _dedup_block(t: pa.Table, prev_last, inv=None):
     """Adjacent-duplicate drop within a (src,dst)-sorted block (+ boundary
-    row vs previous block), then attach weight from the broadcast 1/outdeg
-    (passed as a top-level ObjectRef arg → plasma-shared, resolved by Ray)."""
+    row vs previous block); optionally attach weight from the broadcast
+    1/outdeg (passed as a top-level ObjectRef arg → plasma-shared)."""
     if t.num_rows == 0:
         return t
     src = t["src"].to_numpy()
@@ -288,7 +286,10 @@ def _dedup_block(t: pa.Table, prev_last, inv):
     if prev_last is not None and (src[0], dst[0]) == tuple(prev_last):
         keep[0] = False
     src, dst = src[keep], dst[keep]
-    return pa.Table.from_pydict({"src": src, "dst": dst, "weight": inv[src]})
+    cols = {"src": src, "dst": dst}
+    if inv is not None:
+        cols["weight"] = inv[src]
+    return pa.Table.from_pydict(cols)
 
 
 @ray.remote
@@ -309,6 +310,26 @@ def _outdeg_partial(t: pa.Table, prev_last):
     uniq = src[starts]
     counts = np.diff(np.concatenate([starts, [len(src)]]))
     return uniq, counts.astype(np.int64)
+
+
+
+
+def sorted_dedup(sorted_ds: rd.Dataset) -> rd.Dataset:
+    """Distinct rows of a globally (src,dst)-sorted Dataset: per-block
+    adjacent-duplicate drop + O(#blocks) boundary reconciliation on the
+    driver. The scalable replacement for groupby-distinct whenever the data
+    already carries the (src,dst) ordering."""
+    refs = sorted_ds.to_arrow_refs()
+    bounds = ray.get([_block_bounds.remote(r) for r in refs])
+    prev_last = [None] * len(refs)
+    last_seen = None
+    for i, b in enumerate(bounds):
+        prev_last[i] = last_seen
+        if b is not None:
+            last_seen = b[1]
+    return rd.from_arrow_refs(
+        [_dedup_block.remote(r, pl) for r, pl in zip(refs, prev_last)]
+    )
 
 
 def build_graph_fast(pages: rd.Dataset) -> GraphTables:

@@ -11,6 +11,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+sys.path.insert(0, "/root/repo")
+
 
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
