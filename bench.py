@@ -129,6 +129,13 @@ def run_bench() -> dict:
     queries["components"] = time.perf_counter() - t0
     extra["components_rounds"] = cc["rounds"]
 
+    # --- triangle count on the e2e graph ---
+    from ppagerank_ray.algos.triangles import triangle_count
+
+    t0 = time.perf_counter()
+    extra["triangles"] = triangle_count(gt.edges, gt.n_vertices)
+    queries["triangle_count"] = time.perf_counter() - t0
+
     # --- minhash signatures: compute-bound stateless map over page texts ---
     docs_rep = (
         synth_pages(sf_dir, replicate=max(1, replicate // 2))
@@ -168,7 +175,7 @@ def run_bench() -> dict:
 
     ray.shutdown()
     return {
-        "metric": "link-graph pipeline seconds (e2e + PageRank-to-1e-6 + components + minhash + dedup + knn)",
+        "metric": "link-graph pipeline seconds (e2e + PageRank-to-1e-6 + components + triangles + minhash + dedup + knn)",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},

@@ -5,17 +5,20 @@ are mutually adjacent in the undirected graph (direction and edge weights
 ignored; self-loops and duplicate edges collapse first).
 
 Algorithm (standard degree-ordered wedge counting):
-1. canonical undirected pairs (a < b), distinct — groupby shuffle;
-2. total degree per vertex — groupby count, broadcast (ray.put once);
-3. orient every pair from lower (degree, id) rank to higher — this bounds
-   every oriented out-degree by O(sqrt(E)), the same hub-taming job the
+1. canonical undirected pairs (a < b), distinct — one sort + adjacent dedup;
+2. total degree per vertex — vectorized partials, broadcast (ray.put once);
+3. orient every pair from lower (degree, id) rank to higher — bounds every
+   oriented out-degree by O(sqrt(E)), the same hub-taming job the
    reference's balance-weighted redistribution does for rows
    (petsc_util.cc:1093-1263), so wedge generation never explodes on a hub;
-4. wedges: per center, all rank-ordered out-neighbor pairs
-   (groupby.map_groups, numpy inside);
-5. triangles = wedges that are themselves oriented edges — counted with a
-   tagged union + groupby(["a","b"]) instead of a join, so the match is one
-   hash shuffle (SURVEY.md §7.3).
+4. wedges per center, generated diagonally (offset-g pairs (p, p+g) within
+   center runs — fully vectorized, no per-center Python; the loop count is
+   the max oriented out-degree, O(sqrt E));
+5. triangles = wedges that are themselves oriented edges. Below
+   BROADCAST_MAX_EDGE_KEYS the match is a broadcast semi-join (sorted key
+   array + np.searchsorted per wedge group — no shuffle, wedges never
+   materialize); above it, a tagged-union groupby(["a","b"]) hash shuffle
+   (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -25,9 +28,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+BROADCAST_MAX_EDGE_KEYS = 50_000_000
+
 
 def canonical_pairs(edges: rd.Dataset) -> rd.Dataset:
     """(src,dst) → distinct (a,b) with a < b, self-loops dropped."""
+    from ppagerank_ray.graph.build import shuffle_blocks, sorted_dedup
 
     def canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy()
@@ -35,25 +41,54 @@ def canonical_pairs(edges: rd.Dataset) -> rd.Dataset:
         keep = s != d
         s, d = s[keep], d[keep]
         return pa.Table.from_pydict(
-            {"a": np.minimum(s, d), "b": np.maximum(s, d)}
+            {"src": np.minimum(s, d), "dst": np.maximum(s, d)}
         )
 
-    from ppagerank_ray.graph.build import shuffle_blocks
-
-    return (
+    deduped = sorted_dedup(
         edges.select_columns(["src", "dst"])
         .map_batches(canon, batch_format="pyarrow", batch_size=262144)
         .repartition(shuffle_blocks())
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
+        .sort(["src", "dst"])
+    )
+    return deduped.map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+    )
+
+
+def _wedge_pairs(a: np.ndarray, b: np.ndarray, dg: np.ndarray):
+    """All rank-ordered out-neighbor pairs per center, diagonally vectorized:
+    sort rows by (center, rank(nbr)); for offset g, rows p and p+g form a
+    wedge iff they share a center. Python loop length = max out-degree."""
+    order = np.lexsort((b, dg[b], a))
+    a, b = a[order], b[order]
+    out_x, out_y = [], []
+    g = 1
+    while g < len(a):
+        same = a[:-g] == a[g:]
+        idx = np.flatnonzero(same)
+        if len(idx) == 0:
+            break
+        out_x.append(b[idx])
+        out_y.append(b[idx + g])
+        g += 1
+    if not out_x:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_x), np.concatenate(out_y)
+
+
+def _with_group(ds: rd.Dataset, n_groups: int) -> rd.Dataset:
+    return ds.map_batches(
+        lambda t: t.append_column("g", pa.array(t["a"].to_numpy() % n_groups)),
+        batch_format="pyarrow",
     )
 
 
 def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
+    from ppagerank_ray.graph.build import shuffle_blocks
+
     pairs = canonical_pairs(edges).materialize()
 
-    # degree = #distinct undirected neighbors; small table → broadcast
+    # degree: per-block bincount partials, merged on the driver (O(V) ints)
     deg = np.zeros(n_vertices, dtype=np.int64)
     for t in ray.get(pairs.to_arrow_refs()):
         if t.num_rows:
@@ -65,41 +100,76 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
         dg = ray.get(deg_ref)
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
-        # rank(v) = (deg[v], v); orient low → high
         a_first = (dg[a] < dg[b]) | ((dg[a] == dg[b]) & (a < b))
         lo = np.where(a_first, a, b)
         hi = np.where(a_first, b, a)
         return pa.Table.from_pydict({"a": lo, "b": hi})
 
-    oriented = pairs.map_batches(orient, batch_format="pyarrow", batch_size=262144)
+    oriented = pairs.map_batches(
+        orient, batch_format="pyarrow", batch_size=262144
+    ).materialize()
+    n_edges = oriented.count()
+    V = np.int64(n_vertices)
+    n_groups = 1024
 
-    def wedges(group) -> pa.Table:
-        dg = ray.get(deg_ref)
-        bs = group["b"]
-        if len(bs) < 2:
-            return pa.Table.from_pydict(
-                {
-                    "a": np.empty(0, np.int64),
-                    "b": np.empty(0, np.int64),
-                    "w": np.empty(0, np.int64),
-                    "e": np.empty(0, np.int64),
-                }
+    if n_edges <= BROADCAST_MAX_EDGE_KEYS:
+        # broadcast semi-join: wedge (x,y) is a triangle iff key x·V+y is an
+        # oriented edge key (orientation makes the direction unique)
+        keys = np.sort(
+            np.concatenate(
+                [
+                    t["a"].to_numpy() * V + t["b"].to_numpy()
+                    for t in ray.get(oriented.to_arrow_refs())
+                    if t.num_rows
+                ]
             )
-        order = np.lexsort((bs, dg[bs]))  # rank order among out-neighbors
-        bs = bs[order]
-        n = len(bs)
-        # all index pairs i < j, vectorized
-        ii, jj = np.triu_indices(n, k=1)
+        )
+        keys_ref = ray.put(keys)
+
+        def count_in_group(group) -> pa.Table:
+            ks = ray.get(keys_ref)
+            dg = ray.get(deg_ref)
+            x, y = _wedge_pairs(
+                np.asarray(group["a"]), np.asarray(group["b"]), dg
+            )
+            if len(x) == 0:
+                matches = 0
+            else:
+                wk = x * V + y
+                pos = np.searchsorted(ks, wk)
+                pos[pos >= len(ks)] = len(ks) - 1
+                matches = int((ks[pos] == wk).sum())
+            return pa.Table.from_pydict(
+                {"tri": np.array([matches], dtype=np.int64)}
+            )
+
+        grouped = (
+            _with_group(oriented, n_groups)
+            .repartition(shuffle_blocks())
+            .groupby("g")
+            .map_groups(count_in_group, batch_format="numpy")
+        )
+        return int(grouped.sum("tri"))
+
+    # large-graph fallback: tagged union + hash shuffle match
+    def wedge_rows(group) -> pa.Table:
+        dg = ray.get(deg_ref)
+        x, y = _wedge_pairs(np.asarray(group["a"]), np.asarray(group["b"]), dg)
         return pa.Table.from_pydict(
             {
-                "a": bs[ii].astype(np.int64),
-                "b": bs[jj].astype(np.int64),
-                "w": np.ones(len(ii), np.int64),
-                "e": np.zeros(len(ii), np.int64),
+                "a": x,
+                "b": y,
+                "w": np.ones(len(x), np.int64),
+                "e": np.zeros(len(x), np.int64),
             }
         )
 
-    wedge_ds = oriented.groupby("a").map_groups(wedges, batch_format="numpy")
+    wedge_ds = (
+        _with_group(oriented, n_groups)
+        .repartition(shuffle_blocks())
+        .groupby("g")
+        .map_groups(wedge_rows, batch_format="numpy")
+    )
 
     def tag_edges(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -112,23 +182,20 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
             }
         )
 
-    tagged = wedge_ds.union(
-        oriented.map_batches(tag_edges, batch_format="pyarrow")
-    )
     from ray.data.aggregate import Max, Sum
 
-    from ppagerank_ray.graph.build import shuffle_blocks as _sb
-
-    per_pair = tagged.repartition(_sb()).groupby(["a", "b"]).aggregate(
-        Sum("w", alias_name="w_sum"), Max("e", alias_name="has_e")
+    tagged = wedge_ds.union(oriented.map_batches(tag_edges, batch_format="pyarrow"))
+    per_pair = (
+        tagged.repartition(shuffle_blocks())
+        .groupby(["a", "b"])
+        .aggregate(Sum("w", alias_name="w_sum"), Max("e", alias_name="has_e"))
     )
 
     def contrib(t: pa.Table) -> pa.Table:
         c = t["w_sum"].to_numpy() * t["has_e"].to_numpy()
         return pa.Table.from_pydict({"tri": np.array([c.sum()], dtype=np.int64)})
 
-    total = per_pair.map_batches(contrib, batch_format="pyarrow").sum("tri")
-    return int(total)
+    return int(per_pair.map_batches(contrib, batch_format="pyarrow").sum("tri"))
 
 
 def numpy_triangle_oracle(src: np.ndarray, dst: np.ndarray) -> int:
