@@ -1,0 +1,173 @@
+"""CLI driver — the engine's analogue of the reference's ppagerank_main.cc.
+
+Reference CLI surface (ppagerank_main.cc:78-152): -m <matrix> [-mhint ...]
+[-alpha] [-alg power|inout|arnoldi] [-tol] [-maxiter] [-pvec file]
+[-trans] [-script]. Ours swaps the matrix file for a pages Parquet source
+(directory containing documents.parquet, per BASELINE.json input_hint) and —
+unlike the reference, which never writes results (SURVEY.md K1) — always
+writes partitioned Parquet output plus a JSON run summary.
+
+Examples:
+  python -m ppagerank_ray --sf /root/testdata/sf0.001 --alg power \
+      --alpha 0.85 --tol 1e-7 --out /tmp/scores
+  python -m ppagerank_ray --sf ... --algo components --out /tmp/comp
+  echo '{"alg":"power","alpha":0.95}' | python -m ppagerank_ray --sf ... \
+      --script --out /tmp/runs        # script mode: one JSON spec per line
+
+Run under `ray job submit -- python -m ppagerank_ray ...` on a cluster; in
+the sandbox it initializes a local session itself (guarded).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="ppagerank_ray")
+    ap.add_argument("--sf", required=True, help="input dir with documents.parquet")
+    ap.add_argument("--algo", default="pagerank",
+                    choices=["pagerank", "components", "labelprop", "triangles"])
+    ap.add_argument("--alg", default="power", choices=["power", "inout", "arnoldi"],
+                    help="PageRank algorithm (-alg in the reference)")
+    ap.add_argument("--alpha", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-7)
+    ap.add_argument("--maxiter", type=int, default=10000)
+    ap.add_argument("--pvec", default=None,
+                    help="parquet file of (id, value) personalization vector")
+    ap.add_argument("--replicate", type=int, default=1)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--lp-rounds", type=int, default=0,
+                    help="label propagation rounds (0 = to fixpoint)")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--out", required=True, help="output parquet directory")
+    ap.add_argument("--script", action="store_true",
+                    help="read one JSON run-spec per stdin line (reference -script)")
+    ap.add_argument("--num-cpus", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus or None,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ppagerank_ray import tune_data_context
+
+    tune_data_context()
+
+    import numpy as np
+
+    from ppagerank_ray.algos.components import connected_components, label_propagation
+    from ppagerank_ray.algos.pagerank import arnoldi, inner_outer, power_iteration
+    from ppagerank_ray.algos.triangles import triangle_count
+    from ppagerank_ray.config import PageRankConfig
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+    from ppagerank_ray.graph.build import build_graph, build_undirected
+    from ppagerank_ray.sources.pages import synth_pages
+
+    t0 = time.time()
+    gt = build_graph(synth_pages(args.sf, replicate=args.replicate))
+    summary: dict = {
+        "n_vertices": gt.n_vertices,
+        "n_edges": gt.n_edges,
+        "build_sec": round(time.time() - t0, 3),
+    }
+
+    def load_pvec(path: str) -> np.ndarray:
+        """-pvec semantics (ppagerank.cc:74-78, 91-104) + the sum-to-1 check
+        the reference left as a TODO (ppagerank.cc:106)."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        v = np.zeros(gt.n_vertices, dtype=np.float64)
+        v[t["id"].to_numpy()] = t["value"].to_numpy()
+        if not np.isclose(v.sum(), 1.0, atol=1e-9):
+            raise ValueError(f"personalization vector sums to {v.sum()}, not 1")
+        return v
+
+    algos = {"power": power_iteration, "inout": inner_outer, "arnoldi": arnoldi}
+
+    if args.algo == "pagerank":
+        eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
+        eng.load_directed(gt.edges, presorted=gt.edges_sorted)
+        v = load_pvec(args.pvec) if args.pvec else None
+        if args.script:
+            runs = []
+            for i, line in enumerate(sys.stdin):
+                line = line.strip()
+                if not line:
+                    continue
+                spec = json.loads(line)
+                fn = algos.get(spec.get("alg", "power"))
+                if fn is None:  # tolerate unknown alg (ppagerank_main.cc:449-452)
+                    runs.append({"run": i, "error": "unknown alg"})
+                    continue
+                cfg = PageRankConfig(
+                    alpha=float(spec.get("alpha", args.alpha)),
+                    tol=float(spec.get("tol", args.tol)),
+                    maxiter=int(spec.get("maxiter", args.maxiter)),
+                )
+                info = fn(eng, cfg, v=v) if fn is power_iteration else fn(eng, cfg, v=v)
+                runs.append({"run": i, "alg": spec.get("alg", "power"),
+                             "iterations": info["iteration"],
+                             "residual_l1": info["residual_l1"]})
+                eng.result_dataset("x", "score").write_parquet(
+                    f"{args.out}/run_{i:03d}"
+                )
+            summary["runs"] = runs
+        else:
+            fn = algos[args.alg]
+            cfg = PageRankConfig(alpha=args.alpha, tol=args.tol, maxiter=args.maxiter)
+            if fn is power_iteration:
+                info = fn(eng, cfg, v=v, checkpoint_dir=args.checkpoint_dir,
+                          checkpoint_every=args.checkpoint_every)
+            else:
+                info = fn(eng, cfg, v=v)
+            summary.update({k: info[k] for k in ("iteration", "residual_l1", "converged")})
+            eng.result_dataset("x", "score").write_parquet(args.out)
+        eng.shutdown()
+    elif args.algo in ("components", "labelprop"):
+        eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
+        eng.load_undirected(build_undirected(gt.edges))
+        if args.algo == "components":
+            info = connected_components(eng)
+            colname = "component"
+        else:
+            info = label_propagation(eng, num_rounds=args.lp_rounds)
+            colname = "label"
+        summary["rounds"] = info["rounds"]
+        eng.result_dataset("label", colname, integer=True).write_parquet(args.out)
+        eng.shutdown()
+    else:  # triangles
+        summary["n_triangles"] = triangle_count(gt.edges, gt.n_vertices)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import os
+
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pydict({"n_triangles": [summary["n_triangles"]]}),
+            f"{args.out}/triangles.parquet",
+        )
+
+    summary["total_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -129,6 +129,10 @@ def lsh_candidate_pairs(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     (a per-bucket map_groups costs a Python call per bucket — measured 25s
     vs <1s on 5k docs). Buckets never straddle groups because the group key
     is a pure function of the bucket key."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = max(1, min(concurrency, cpus - 1))  # never starve the shuffle
     bands = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
     )

@@ -91,6 +91,10 @@ class MediaFeatureExtractor:
 def media_features(
     media: rd.Dataset, decode: bool = False, concurrency: int = 2
 ) -> rd.Dataset:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = max(1, min(concurrency, cpus - 1))
     return media.map_batches(
         MediaFeatureExtractor,
         fn_constructor_args=(decode,),

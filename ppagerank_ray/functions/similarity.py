@@ -178,6 +178,8 @@ def ann_lsh(
     query, re-ranked by exact cosine. Same output schema as knn_bruteforce."""
     dim = len(emb.take(1)[0]["embedding"])
     lsh = HyperplaneLSH(dim, n_tables, n_bits)
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = max(1, min(concurrency, cpus - 1))  # never starve downstream
     buckets = emb.map_batches(
         HyperplaneLSH,
         fn_constructor_args=(dim, n_tables, n_bits),

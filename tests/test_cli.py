@@ -1,0 +1,47 @@
+"""CLI driver surface (python -m ppagerank_ray) — the reference's
+ppagerank_main analogue, including -script mode."""
+
+import json
+import subprocess
+import sys
+
+
+def _run(args, stdin=None):
+    out = subprocess.run(
+        [sys.executable, "-m", "ppagerank_ray", *args],
+        input=stdin,
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_pagerank(tmp_path):
+    s = _run(
+        [
+            "--sf", "/root/testdata/sf0.001",
+            "--out", str(tmp_path / "scores"),
+            "--tol", "1e-7",
+            "--num-cpus", "4",
+        ]
+    )
+    assert s["converged"] and s["n_vertices"] == 505
+    import duckdb
+
+    n, total = duckdb.sql(
+        f"select count(*), sum(score) from '{tmp_path}/scores/*.parquet'"
+    ).fetchone()
+    assert n == 505 and abs(total - 1.0) < 1e-9
+
+
+def test_cli_script_mode_tolerates_unknown_alg(tmp_path):
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--script",
+         "--out", str(tmp_path / "runs"), "--num-cpus", "4"],
+        stdin='{"alg":"power","alpha":0.95}\n{"alg":"nope"}\n',
+    )
+    assert s["runs"][0]["iterations"] > 0
+    assert s["runs"][1] == {"run": 1, "error": "unknown alg"}
