@@ -28,7 +28,12 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ppagerank_ray")
-    ap.add_argument("--sf", required=True, help="input dir with documents.parquet")
+    g_in = ap.add_mutually_exclusive_group(required=True)
+    g_in.add_argument("--sf", help="pages input dir with documents.parquet")
+    g_in.add_argument("--matrix", help="BSMAT (+.degs) or parquet edge table "
+                      "(-m in the reference); weights row-normalized")
+    ap.add_argument("--mhint", default=None, choices=[None, "bsmat", "parquet"],
+                    help="format hint (-mhint in the reference)")
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles"])
     ap.add_argument("--alg", default="power", choices=["power", "inout", "arnoldi"],
@@ -78,7 +83,19 @@ def main(argv: list[str] | None = None) -> int:
     from ppagerank_ray.sources.pages import synth_pages
 
     t0 = time.time()
-    gt = build_graph(synth_pages(args.sf, replicate=args.replicate))
+    if args.matrix:
+        from dataclasses import dataclass
+
+        from ppagerank_ray.graph.build import GraphTables, normalize_edge_weights
+        from ppagerank_ray.sources.bsmat import load_matrix
+
+        raw, m, n, nnz = load_matrix(args.matrix, hint=args.mhint)
+        nv = max(m, n)  # PageRank requires square (ppagerank.cc:62-65)
+        edges = normalize_edge_weights(raw, nv).materialize()
+        gt = GraphTables(vertices=None, edges=edges, n_vertices=nv,
+                         n_edges=nnz, edges_sorted=False)
+    else:
+        gt = build_graph(synth_pages(args.sf, replicate=args.replicate))
     summary: dict = {
         "n_vertices": gt.n_vertices,
         "n_edges": gt.n_edges,

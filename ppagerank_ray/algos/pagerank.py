@@ -56,6 +56,13 @@ def power_iteration(
     if checkpoint_dir and resume:
         manifest = VertexEngine.read_manifest(checkpoint_dir)
         if manifest is not None and manifest.get("algorithm") == "power":
+            fp = manifest.get("input_fingerprint")
+            if fp is not None and fp != engine.input_fingerprint():
+                raise ValueError(
+                    "checkpoint was written for a different graph "
+                    f"(manifest fingerprint {fp} != loaded graph); "
+                    "pass resume=False or a fresh checkpoint_dir"
+                )
             engine.restore_checkpoint(checkpoint_dir, manifest)
             start_iter = manifest["iteration"]
             if manifest.get("converged"):
@@ -105,6 +112,7 @@ def power_iteration(
                     "tol": cfg.tol,
                     "residual_l1": delta,
                     "converged": converged,
+                    "input_fingerprint": engine.input_fingerprint(),
                 },
             )
         if converged:
@@ -338,7 +346,9 @@ def numpy_power_oracle(
     x = np.full(n_vertices, 1.0 / n_vertices) if v is None else v.astype(np.float64).copy()
     deltas = []
     for _ in range(maxiter):
-        y = np.bincount(dst, weights=x[src] * ew, minlength=n_vertices)
+        y = np.bincount(dst, weights=x[src] * ew, minlength=n_vertices).astype(
+            np.float64
+        )
         y *= alpha
         omega = 1.0 - y.sum()
         y += omega / n_vertices if v is None else omega * v

@@ -112,6 +112,8 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
     V = np.int64(n_vertices)
     n_groups = 1024
 
+    if n_edges == 0:
+        return 0
     if n_edges <= BROADCAST_MAX_EDGE_KEYS:
         # broadcast semi-join: wedge (x,y) is a triangle iff key x·V+y is an
         # oriented edge key (orientation makes the direction unique)

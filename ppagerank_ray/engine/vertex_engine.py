@@ -436,6 +436,17 @@ class _VertexWorker:
 
     # ---------- results / checkpoint ----------
 
+    def partition_stats(self) -> dict:
+        """Per-partition skew observability (SURVEY A7: min/max local
+        rows/nnz per rank, reported as metrics)."""
+        return {
+            "wid": self.wid,
+            "vertices": self.size,
+            "directed_edges": int(len(self.d_src) if self.d_src is not None else 0),
+            "undirected_edges": int(len(self.u_src) if self.u_src is not None else 0),
+            "src_span": [int(self.d_span[0]), int(self.d_span[1])],
+        }
+
     def result_table(self, name: str, colname: str, integer: bool = False) -> pa.Table:
         ids = np.arange(self.vlo, self.vhi, dtype=np.int64)
         vals = self.ivecs[name] if integer else self.vecs[name]
@@ -631,6 +642,20 @@ class VertexEngine:
         return self._sum(reduce_futs)
 
     # ---------- checkpointing ----------
+
+    def partition_stats(self) -> list[dict]:
+        return ray.get([w.partition_stats.remote() for w in self.workers])
+
+    def input_fingerprint(self) -> dict:
+        """Cheap structural fingerprint of the loaded graph, recorded in the
+        manifest so resume can detect a different input (n_vertices, n_edges,
+        per-partition edge counts)."""
+        stats = self.partition_stats()
+        return {
+            "n_vertices": self.V,
+            "n_edges": self.n_edges,
+            "partition_edge_counts": [s["directed_edges"] for s in stats],
+        }
 
     def write_checkpoint(
         self, ckpt_dir: str, iteration: int, names: list[str], meta: dict

@@ -211,6 +211,37 @@ def build_graph_generic(pages: rd.Dataset) -> GraphTables:
     )
 
 
+def normalize_edge_weights(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
+    """Row-stochastic normalization for WEIGHTED matrices: each edge weight
+    divided by its row's value sum — the full MatNormalizeForPageRank A2
+    semantics (ppagerank.cc:234-268: 1/sum only when the row has entries and
+    |sum| > 1e-16; zero/absent rows stay dangling). attach_weights is the
+    unweighted shortcut (sum == count)."""
+    from ray.data.aggregate import Sum
+
+    sums_tbl = (
+        edges.repartition(shuffle_blocks())
+        .groupby("src")
+        .aggregate(Sum("weight", alias_name="row_sum"))
+    )
+    inv = np.zeros(n_vertices, dtype=np.float64)
+    for t in ray.get(sums_tbl.to_arrow_refs()):
+        if t.num_rows:
+            rs = t["row_sum"].to_numpy()
+            nz = np.abs(rs) > 1e-16
+            inv[t["src"].to_numpy()[nz]] = 1.0 / rs[nz]
+    inv_ref = ray.put(inv)
+
+    def scale(t: pa.Table) -> pa.Table:
+        iv = ray.get(inv_ref)
+        w = t["weight"].to_numpy() * iv[t["src"].to_numpy()]
+        return pa.Table.from_pydict(
+            {"src": t["src"], "dst": t["dst"], "weight": w}
+        )
+
+    return edges.map_batches(scale, batch_format="pyarrow", batch_size=262144)
+
+
 def build_graph(pages: rd.Dataset, use_fast: bool = True) -> GraphTables:
     """Default entry: the single-sort fast path when its input invariants
     hold (unique page urls; externals sort last), else the generic

@@ -74,3 +74,30 @@ def test_resume_of_converged_run_is_noop(graph, tmp_path):
     info = power_iteration(e2, cfg, checkpoint_dir=ckpt, checkpoint_every=2)
     e2.shutdown()
     assert info["converged"]
+
+
+def test_resume_rejects_different_graph(graph, tmp_path):
+    """Manifest carries an input fingerprint; resuming against a different
+    edge set must fail loudly instead of silently mixing state."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    gt = graph
+    ckpt = str(tmp_path / "ckpt3")
+    e1 = _fresh_engine(gt)
+    power_iteration(e1, PageRankConfig(maxiter=3, tol=1e-8),
+                    checkpoint_dir=ckpt, checkpoint_every=1)
+    e1.shutdown()
+    # different graph, same vertex count
+    other = rd.from_arrow(pa.Table.from_pydict({
+        "src": np.arange(gt.n_vertices - 1, dtype=np.int64),
+        "dst": np.arange(1, gt.n_vertices, dtype=np.int64),
+        "weight": np.ones(gt.n_vertices - 1),
+    }))
+    e2 = VertexEngine(gt.n_vertices, 3)
+    e2.load_directed(other)
+    with pytest.raises(ValueError, match="different graph"):
+        power_iteration(e2, PageRankConfig(tol=1e-8),
+                        checkpoint_dir=ckpt, checkpoint_every=1)
+    e2.shutdown()
