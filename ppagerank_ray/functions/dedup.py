@@ -120,7 +120,9 @@ def minhash_bands_batch(t: pa.Table) -> pa.Table:
     return hasher(t)
 
 
-def lsh_candidate_pairs(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+def lsh_candidate_pairs(
+    docs: rd.Dataset, concurrency: int = 2, use_actors: bool = False
+) -> rd.Dataset:
     """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band.
 
     Buckets are shuffled by a COARSE group key (hash of the bucket key mod
@@ -131,11 +133,20 @@ def lsh_candidate_pairs(docs: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     is a pure function of the bucket key."""
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    concurrency = max(1, min(concurrency, cpus - 1))  # never starve the shuffle
-    bands = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
-    )
+    if use_actors:
+        # actor-pool variant: permutations in __init__ (the SURVEY §7.2
+        # pattern); pays ~1s/actor startup per invocation
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(concurrency, cpus - 1))  # don't starve shuffle
+        bands = docs.select_columns(["doc_id", "text"]).map_batches(
+            MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
+        )
+    else:
+        # default: stateless tasks on the warm worker pool; permutations
+        # cached per process (same output, no actor spin-up)
+        bands = docs.select_columns(["doc_id", "text"]).map_batches(
+            minhash_bands_batch, batch_format="pyarrow", batch_size=4096
+        )
 
     def pairs(group) -> pa.Table:
         b = np.asarray(group["band"])
