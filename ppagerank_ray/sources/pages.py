@@ -85,27 +85,30 @@ def n_documents(sf_dir: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
 
 
-def _synth_batch(batch: pa.Table, n_docs: int, replicate: int) -> pa.Table:
-    n_pages = n_docs * replicate
-    doc_ids = batch["doc_id"].to_numpy()
-    texts = batch["text"].to_pylist()
-    langs = batch["lang"].to_pylist()
+def _synth_shard(
+    sf_dir: str, n_docs: int, n_pages: int, lo: int, hi: int
+) -> pa.Table:
+    """Render pages with ids in [lo, hi). Reads the tiny seed corpus itself
+    (KB-scale parquet) — content is a pure function of the page id, so the
+    shard layout never affects the data."""
+    seed = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).sort_by("doc_id")
+    texts = seed["text"].to_pylist()
+    langs = seed["lang"].to_pylist()
+    count = hi - lo
     urls: list[str] = []
-    ts = np.empty(len(doc_ids) * replicate, dtype=np.int64)
+    ts = np.empty(count, dtype=np.int64)
     htmls: list[bytes] = []
     out_texts: list[str] = []
     out_langs: list[str] = []
-    pos = 0
-    for rep in range(replicate):
-        base = rep * n_docs
-        for j, d in enumerate(doc_ids):
-            i = int(d) + base
-            urls.append(page_url(i))
-            ts[pos] = WARC_TS_BASE_US + i * 1_000_000
-            htmls.append(_render_html(i, texts[j], n_pages))
-            pos += 1
-        out_texts.extend(texts)
-        out_langs.extend(langs)
+    for pos, i in enumerate(range(lo, hi)):
+        d = i % n_docs
+        urls.append(page_url(i))
+        ts[pos] = WARC_TS_BASE_US + i * 1_000_000
+        htmls.append(_render_html(i, texts[d], n_pages))
+        out_texts.append(texts[d])
+        out_langs.append(langs[d])
     return pa.Table.from_arrays(
         [
             pa.array(urls, type=pa.string()),
@@ -124,23 +127,26 @@ def synth_pages(
     override_parallelism: int | None = None,
 ) -> rd.Dataset:
     """Pages Dataset for one scale-factor dir; `replicate` scales the graph
-    (page count = n_docs * replicate) for bench runs without external data."""
-    n_docs = n_documents(sf_dir)
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
-    # The documents file is a single row-group → one block → one synth task;
-    # repartition so rendering parallelism matches the cluster, not the file
-    # layout (a small shuffle of the tiny seed corpus, not of the pages).
-    if override_parallelism is None:
-        import ray
+    (page count = n_docs * replicate) for bench runs without external data.
 
+    Rendering runs as plain Ray tasks over contiguous page-id ranges →
+    from_arrow_refs. A map_batches over the KB-scale seed corpus is NOT used:
+    the streaming executor bundles tiny seed blocks into 1-2 render tasks
+    regardless of CPUs (measured via ds.stats()), serializing the stage. At
+    real crawl scale the pages ARE the input and read_parquet shards them."""
+    import ray
+
+    n_docs = n_documents(sf_dir)
+    n_pages = n_docs * replicate
+    if override_parallelism is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        override_parallelism = min(n_docs, max(16, cpus * 4))
-    ds = ds.repartition(override_parallelism)
-    return ds.map_batches(
-        _synth_batch,
-        batch_format="pyarrow",
-        batch_size=2048,
-        fn_kwargs={"n_docs": n_docs, "replicate": replicate},
-    )
+        override_parallelism = max(16, cpus * 4)
+    shards = min(n_pages, override_parallelism)
+    bounds = [n_pages * i // shards for i in range(shards + 1)]
+    fn = ray.remote(_synth_shard)
+    refs = [
+        fn.remote(sf_dir, n_docs, n_pages, bounds[i], bounds[i + 1])
+        for i in range(shards)
+        if bounds[i + 1] > bounds[i]
+    ]
+    return rd.from_arrow_refs(refs)
