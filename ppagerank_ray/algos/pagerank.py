@@ -76,14 +76,27 @@ def power_iteration(
     converged = False
     names = ["x", "v"] if use_pvec else ["x"]
     it = start_iter
+    import ray
+
     for it in range(start_iter + 1, cfg.maxiter + 1):
         t0 = time.perf_counter()
-        # y = α·P'x, and ‖y‖₁ from the same pass (y ≥ 0 ⇒ sum == 1-norm)
-        sum_y = engine.spmv(x_refs, out="y", scale=cfg.alpha)
-        omega = 1.0 - sum_y  # ppagerank.cc:308-310
+        # Round 1: SpMV partials; each worker also returns its contribution
+        # mass, so ω = 1 − ‖α·P'x‖₁ forms without a reduce barrier
+        # (ppagerank.cc:302-310; y ≥ 0 ⇒ sum == 1-norm).
+        partial_mat, totals = engine.spmv_partial_refs(x_refs)
+        omega = 1.0 - cfg.alpha * float(np.sum(ray.get(totals)))
+        # Round 2: fused reduce + scale + shift + δ + x←y per partition.
         upd = [
-            w.power_update.options(num_returns=2).remote(omega, use_pvec, engine.V)
-            for w in engine.workers
+            engine.workers[q]
+            .power_reduce_update.options(num_returns=2)
+            .remote(
+                [partial_mat[p][q] for p in range(engine.P)],
+                cfg.alpha,
+                omega,
+                use_pvec,
+                engine.V,
+            )
+            for q in range(engine.P)
         ]
         delta = float(np.sum(ray_get_first(upd)))
         x_refs = [u[1] for u in upd]

@@ -251,7 +251,7 @@ class _VertexWorker:
         .options(num_returns=P) so destination owners pull only their own
         column — the object store is the VecScatter."""
         if len(self.d_src) == 0:
-            return None if self.P == 1 else tuple([None] * self.P)
+            return tuple([None] * self.P + [0.0])
         x_full, base = self._gather(x_parts, base_lo, self.d_span)
         contrib = self._parallel_contrib(x_full, base)
 
@@ -272,7 +272,11 @@ class _VertexWorker:
             out = list(self.pool.map(one_q, range(self.P)))
         else:
             out = [one_q(q) for q in range(self.P)]
-        return out[0] if self.P == 1 else tuple(out)
+        # final extra return: this worker's total contribution mass, so the
+        # driver can form ω right after the SpMV round (one fewer barrier)
+        total = float(contrib.sum())
+        out.append(total)
+        return tuple(out)
 
     def _parallel_contrib(self, x_full: np.ndarray, base: int) -> np.ndarray:
         """contrib = x[src]·w, chunked across the thread pool (numpy ufuncs
@@ -312,6 +316,14 @@ class _VertexWorker:
             acc *= scale
         self.vecs[name] = acc
         return float(acc.sum())
+
+    def power_reduce_update(
+        self, refs: list, alpha: float, omega: float, use_pvec: bool, n_vertices: int
+    ):
+        """Fused reduce + ppagerank.cc:308-330 update: y = α·Σpartials;
+        y += ω·v; δ_local = ‖y−x‖₁; x ← y. Returns (delta, new_x_slice)."""
+        self.reduce_partials("y", refs, alpha)
+        return self.power_update(omega, use_pvec, n_vertices)
 
     # ---------- fused power-iteration update (hot path) ----------
 
@@ -626,13 +638,7 @@ class VertexEngine:
         """Returns Σ out (the e'P'x scalar, folded into the same pass like
         ppagerank.cc:707). x_refs are the published slice refs of the source
         vector."""
-        gargs = self._gather_args(x_refs, self.d_spans)
-        partial_mat = [
-            w.spmv_partials.options(num_returns=self.P).remote(refs, base)
-            for w, (refs, base) in zip(self.workers, gargs)
-        ]
-        if self.P == 1:
-            partial_mat = [[m] for m in partial_mat]
+        partial_mat, totals = self.spmv_partial_refs(x_refs)
         reduce_futs = [
             self.workers[q].reduce_partials.remote(
                 out, [partial_mat[p][q] for p in range(self.P)], scale
@@ -640,6 +646,17 @@ class VertexEngine:
             for q in range(self.P)
         ]
         return self._sum(reduce_futs)
+
+    def spmv_partial_refs(self, x_refs: list):
+        """Launch the SpMV round; returns (P×P partial refs, P total refs)."""
+        gargs = self._gather_args(x_refs, self.d_spans)
+        outs = [
+            w.spmv_partials.options(num_returns=self.P + 1).remote(refs, base)
+            for w, (refs, base) in zip(self.workers, gargs)
+        ]
+        partial_mat = [o[: self.P] for o in outs]
+        totals = [o[self.P] for o in outs]
+        return partial_mat, totals
 
     # ---------- checkpointing ----------
 
