@@ -153,7 +153,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 info = fn(eng, cfg, v=v)
             summary.update({k: info[k] for k in ("iteration", "residual_l1", "converged")})
-            eng.result_dataset("x", "score").write_parquet(args.out)
+            summary["output"] = eng.write_result_partitioned(args.out, "x", "score")
         eng.shutdown()
     elif args.algo in ("components", "labelprop"):
         eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
@@ -165,7 +165,9 @@ def main(argv: list[str] | None = None) -> int:
             info = label_propagation(eng, num_rounds=args.lp_rounds)
             colname = "label"
         summary["rounds"] = info["rounds"]
-        eng.result_dataset("label", colname, integer=True).write_parquet(args.out)
+        summary["output"] = eng.write_result_partitioned(
+            args.out, "label", colname, integer=True
+        )
         eng.shutdown()
     else:  # triangles
         summary["n_triangles"] = triangle_count(gt.edges, gt.n_vertices)

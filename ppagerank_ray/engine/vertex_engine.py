@@ -464,6 +464,24 @@ class _VertexWorker:
         vals = self.ivecs[name] if integer else self.vecs[name]
         return pa.Table.from_pydict({"id": ids, colname: vals})
 
+    def write_result_partition(
+        self, out_dir: str, name: str, colname: str, integer: bool = False
+    ) -> str:
+        """Resumable sink: one directory per vertex partition, written
+        atomically (tmp + rename) with a _SUCCESS marker; a rerun skips
+        partitions whose marker exists (ray_guide 'Sources & sinks')."""
+        part_dir = os.path.join(out_dir, f"part_{self.wid:05d}")
+        marker = os.path.join(part_dir, "_SUCCESS")
+        if os.path.exists(marker):
+            return "skipped"
+        os.makedirs(part_dir, exist_ok=True)
+        tmp = os.path.join(part_dir, "data.parquet.tmp")
+        pq.write_table(self.result_table(name, colname, integer), tmp)
+        os.replace(tmp, os.path.join(part_dir, "data.parquet"))
+        with open(marker, "w") as f:
+            f.write("")
+        return "written"
+
     def write_checkpoint(self, directory: str, names: list[str]) -> str:
         os.makedirs(directory, exist_ok=True)
         path = os.path.join(directory, f"part_{self.wid:05d}.parquet")
@@ -613,6 +631,23 @@ class VertexEngine:
 
     def slice_refs(self, name: str) -> list:
         return [w.get_slice.remote(name) for w in self.workers]
+
+    def write_result_partitioned(
+        self, out_dir: str, name: str, colname: str, integer: bool = False
+    ) -> dict:
+        """Write (id, colname) as one sub-directory per vertex partition;
+        reruns skip partitions that already have a _SUCCESS marker. Returns
+        {written: n, skipped: n}."""
+        outcomes = ray.get(
+            [
+                w.write_result_partition.remote(out_dir, name, colname, integer)
+                for w in self.workers
+            ]
+        )
+        return {
+            "written": outcomes.count("written"),
+            "skipped": outcomes.count("skipped"),
+        }
 
     def result_dataset(self, name: str, colname: str, integer: bool = False) -> rd.Dataset:
         refs = [

@@ -101,3 +101,33 @@ def test_resume_rejects_different_graph(graph, tmp_path):
         power_iteration(e2, PageRankConfig(tol=1e-8),
                         checkpoint_dir=ckpt, checkpoint_every=1)
     e2.shutdown()
+
+
+def test_partitioned_output_resumes(graph, tmp_path):
+    """Resumable sink: one dir per partition + _SUCCESS; rerun skips
+    completed partitions and only rewrites missing ones."""
+    import os
+
+    import duckdb
+
+    gt = graph
+    out = str(tmp_path / "scores_out")
+    e = _fresh_engine(gt, P=4)
+    power_iteration(e, PageRankConfig(tol=1e-7))
+    r1 = e.write_result_partitioned(out, "x", "score")
+    assert r1 == {"written": 4, "skipped": 0}
+    n, total = duckdb.sql(
+        f"select count(*), sum(score) from '{out}/part_*/data.parquet'"
+    ).fetchone()
+    assert n == gt.n_vertices and abs(total - 1.0) < 1e-9
+    # simulate a partially-failed run: one partition incomplete
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "part_00002"))
+    r2 = e.write_result_partitioned(out, "x", "score")
+    assert r2 == {"written": 1, "skipped": 3}
+    n2, _ = duckdb.sql(
+        f"select count(*), sum(score) from '{out}/part_*/data.parquet'"
+    ).fetchone()
+    assert n2 == gt.n_vertices
+    e.shutdown()

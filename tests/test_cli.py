@@ -32,7 +32,7 @@ def test_cli_pagerank(tmp_path):
     import duckdb
 
     n, total = duckdb.sql(
-        f"select count(*), sum(score) from '{tmp_path}/scores/*.parquet'"
+        f"select count(*), sum(score) from '{tmp_path}/scores/part_*/data.parquet'"
     ).fetchone()
     assert n == 505 and abs(total - 1.0) < 1e-9
 
