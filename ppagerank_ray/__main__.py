@@ -84,8 +84,6 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     if args.matrix:
-        from dataclasses import dataclass
-
         from ppagerank_ray.graph.build import GraphTables, normalize_edge_weights
         from ppagerank_ray.sources.bsmat import load_matrix
 
