@@ -672,6 +672,49 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_pred
 FROM scored""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        # SimHash: token hash = first 8 bytes of md5(token) (hi/lo 32-bit
+        # halves to stay inside BIGINT); bit b of the signature is set iff
+        # 2·(ones at b) > n_tokens; emitted as 16-char hex, identical to
+        # functions/dedup.py::_simhash_values
+        "simhash": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+),
+th AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+  FROM toks
+),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+bits AS (
+  SELECT t.doc_id, b.b,
+         sum(CASE WHEN b.b < 32 THEN (t.lo >> b.b) & 1
+                  ELSE (t.hi >> (b.b - 32)) & 1 END)::BIGINT AS ones
+  FROM th t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY t.doc_id, b.b
+),
+sig AS (
+  SELECT bits.doc_id,
+         sum(CASE WHEN b >= 32 AND 2 * ones > c.n
+                  THEN (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN b < 32 AND 2 * ones > c.n
+                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS lo
+  FROM bits JOIN cnt c ON bits.doc_id = c.doc_id GROUP BY bits.doc_id
+)
+SELECT d.doc_id,
+       coalesce(printf('%08x%08x', s.hi, s.lo), '0000000000000000') AS simhash
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""",
+        # media payload = utf-8 bytes of text (ASCII fixture: codepoint ==
+        # byte), so byte-level features are SQL-expressible
+        "media_features": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (coalesce(list_sum(list_transform(string_split(text, ''), x -> unicode(x))), 0)
+        % 2147483648)::BIGINT AS checksum
+FROM documents""",
         "near_dup_jaccard": f"""WITH {_SHINGLE_CTES},
 common AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS inter

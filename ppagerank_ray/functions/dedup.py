@@ -33,8 +33,13 @@ LSH_BANDS = 16
 LSH_ROWS = 4  # NUM_PERM == LSH_BANDS * LSH_ROWS
 _MERSENNE = np.uint64((1 << 61) - 1)
 _SEED = 42
-_MAX_BUCKET = 500  # cap pairs per LSH bucket; larger buckets are logged+capped
+# pair-generation safety valve: a bucket with > this many pairs (≈4.5k docs
+# sharing a band — pathological mass duplication) emits a star to the
+# bucket-min id instead of the full quadratic pair set. Below the valve the
+# pair set is EXACT (no silent truncation; ADVICE round 1).
+MAX_BUCKET_PAIRS = 10_000_000
 _NGROUPS = 1024  # coarse shuffle groups for vectorized bucket processing
+BROADCAST_MAX_INVOLVED = 5_000_000  # candidate-id set broadcast threshold
 
 
 def shingle_hashes(text: str) -> np.ndarray:
@@ -54,6 +59,47 @@ def _perm_coeffs(rng_seed: int = _SEED) -> tuple[np.ndarray, np.ndarray]:
     a = rng.integers(1, (1 << 61) - 1, size=NUM_PERM, dtype=np.uint64)
     b = rng.integers(0, (1 << 61) - 1, size=NUM_PERM, dtype=np.uint64)
     return a, b
+
+
+def batch_shingle_sets(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct char-5-gram hashes for a whole batch in one vectorized pass.
+
+    Returns (values, offsets) with values[offsets[i]:offsets[i+1]] = doc i's
+    sorted distinct hashes — per-doc identical to shingle_hashes(texts[i]).
+    The rolling polynomial runs over ONE concatenated byte buffer; windows
+    that straddle document boundaries are excluded by construction (each
+    doc contributes exactly max(len-4, 0) window start positions). Per-doc
+    distinct extraction is a single np.unique over (doc_idx << 41 | hash)
+    keys — hashes fit in 41 bits (max 255·Σ257^i ≈ 1.11e12 < 2^41)."""
+    n = len(texts)
+    offsets_empty = np.zeros(n + 1, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, np.uint64), offsets_empty
+    encs = [t.encode("utf-8") for t in texts]
+    lens = np.fromiter((len(e) for e in encs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total < SHINGLE_K:
+        return np.empty(0, np.uint64), offsets_empty
+    buf = np.frombuffer(b"".join(encs), dtype=np.uint8).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    nwin = total - SHINGLE_K + 1
+    h = buf[:nwin].copy()
+    for i in range(1, SHINGLE_K):
+        h = h * np.uint64(257) + buf[i : nwin + i]
+    wcounts = np.maximum(lens - SHINGLE_K + 1, 0)
+    tot_w = int(wcounts.sum())
+    if tot_w == 0:
+        return np.empty(0, np.uint64), offsets_empty
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), wcounts)
+    woff = np.concatenate([[0], np.cumsum(wcounts)])
+    pos = (np.arange(tot_w, dtype=np.int64) - woff[doc_idx]) + starts[doc_idx]
+    keys = (doc_idx.astype(np.uint64) << np.uint64(41)) | h[pos]
+    uk = np.unique(keys)
+    u_doc = (uk >> np.uint64(41)).astype(np.int64)
+    offsets = np.searchsorted(u_doc, np.arange(n + 1, dtype=np.int64)).astype(
+        np.int64
+    )
+    return uk & np.uint64((1 << 41) - 1), offsets
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -77,20 +123,32 @@ class MinHasher:
         ids = t["doc_id"].to_numpy()
         texts = t["text"].to_pylist()
         n = len(ids)
-        band_col = np.empty(n * LSH_BANDS, dtype=np.int64)
-        hash_col = np.empty(n * LSH_BANDS, dtype=np.uint64)
-        id_col = np.empty(n * LSH_BANDS, dtype=np.int64)
-        for i, text in enumerate(texts):
-            sig = minhash_signature(shingle_hashes(text), self.a, self.b)
-            bands = sig.reshape(LSH_BANDS, LSH_ROWS)
-            # fold each band's rows into one 64-bit key
-            bh = np.zeros(LSH_BANDS, dtype=np.uint64)
-            for r in range(LSH_ROWS):
-                bh = bh * np.uint64(1_000_003) + bands[:, r]
-            s = slice(i * LSH_BANDS, (i + 1) * LSH_BANDS)
-            band_col[s] = np.arange(LSH_BANDS)
-            hash_col[s] = bh
-            id_col[s] = ids[i]
+        # one vectorized shingle pass for the whole batch, then the 64-perm
+        # min in doc-chunks sized so the NUM_PERM × shingles temp stays
+        # ~64 MB (hottest bench stage — no per-document Python loop)
+        vals, offs = batch_shingle_sets(texts)
+        counts = np.diff(offs)
+        sig = np.full((NUM_PERM, n), _MERSENNE, dtype=np.uint64)
+        CHUNK = 1 << 17
+        d0 = 0
+        while d0 < n:
+            d1 = int(np.searchsorted(offs, offs[d0] + CHUNK, side="right")) - 1
+            d1 = min(max(d1, d0 + 1), n)
+            a0, a1 = int(offs[d0]), int(offs[d1])
+            if a1 > a0:
+                v = (self.a[:, None] * vals[None, a0:a1] + self.b[:, None]) % _MERSENNE
+                nz = np.flatnonzero(counts[d0:d1] > 0)
+                mins = np.minimum.reduceat(v, (offs[d0:d1][nz] - a0), axis=1)
+                sig[:, d0 + nz] = mins
+            d0 = d1
+        # fold each band's rows into one 64-bit key (vectorized over docs)
+        bands = sig.reshape(LSH_BANDS, LSH_ROWS, n)
+        bh = np.zeros((LSH_BANDS, n), dtype=np.uint64)
+        for r in range(LSH_ROWS):
+            bh = bh * np.uint64(1_000_003) + bands[:, r, :]
+        band_col = np.tile(np.arange(LSH_BANDS, dtype=np.int64), n)
+        hash_col = bh.T.reshape(-1).copy()  # doc-major, band 0..15 per doc
+        id_col = np.repeat(ids.astype(np.int64), LSH_BANDS)
         gkey = (
             (hash_col ^ (band_col.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
             % np.uint64(_NGROUPS)
@@ -161,10 +219,19 @@ def lsh_candidate_pairs(
         for ri in np.flatnonzero(lens >= 2):
             a0, a1 = int(starts[ri]), int(starts[ri + 1])
             ids = d[a0:a1]
-            if len(ids) > _MAX_BUCKET:  # no silent caps
-                print(f"lsh bucket capped: {len(ids)} -> {_MAX_BUCKET}")
-                ids = ids[:_MAX_BUCKET]
-            ii, jj = np.triu_indices(len(ids), k=1)
+            s = len(ids)
+            if s * (s - 1) // 2 > MAX_BUCKET_PAIRS:
+                # pathological bucket (mass duplication): star to the min id
+                # preserves duplicate-cluster connectivity at O(s); logged,
+                # never silent (ADVICE round 1)
+                print(
+                    f"lsh bucket of {s} ids exceeds MAX_BUCKET_PAIRS; "
+                    "emitting star pairs to the bucket min"
+                )
+                out_a.append(np.full(s - 1, ids.min(), dtype=ids.dtype))
+                out_b.append(ids[ids != ids.min()][: s - 1])
+                continue
+            ii, jj = np.triu_indices(s, k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
         if not out_a:
@@ -188,65 +255,121 @@ def lsh_candidate_pairs(
     )
 
 
+def _empty_pairs() -> pa.Table:
+    return pa.Table.from_pydict(
+        {
+            "id_a": np.empty(0, np.int64),
+            "id_b": np.empty(0, np.int64),
+            "jaccard": np.empty(0, np.float64),
+        }
+    )
+
+
+def _shingle_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, sh: binary) — distinct sorted 5-gram hashes
+    per doc, batch-vectorized, PACKED as little-endian int64 bytes.
+
+    Binary (not list<int64>) because the column must survive the pandas
+    merge inside ops/joins.hash_join: pandas object columns of numpy arrays
+    round-trip through Ray's block conversion as a pickled-object extension
+    array (whose size accounting segfaults pyarrow 16), while bytes map
+    cleanly to Arrow binary. Built zero-copy from the flat (values, offsets)
+    pair via Array.from_buffers."""
+    texts = t["text"].to_pylist()
+    vals, offs = batch_shingle_sets(texts)
+    data_buf = pa.py_buffer(vals.astype(np.int64).tobytes())
+    off_buf = pa.py_buffer((offs * 8).astype(np.int32).tobytes())
+    sh = pa.Array.from_buffers(pa.binary(), len(texts), [None, off_buf, data_buf])
+    return pa.Table.from_pydict({"doc_id": t["doc_id"], "sh": sh})
+
+
+def _involved_ids(cand: rd.Dataset) -> rd.Dataset:
+    """Distinct doc ids appearing in any candidate pair, as a Dataset."""
+    def side(col):
+        return cand.select_columns([col]).map_batches(
+            lambda t, c=col: t.rename_columns(["doc_id"]), batch_format="pyarrow"
+        )
+
+    return (
+        side("id_a")
+        .union(side("id_b"))
+        .repartition(_sb_blocks())
+        .groupby("doc_id")
+        .count()
+        .select_columns(["doc_id"])
+    )
+
+
 def verify_jaccard(
     docs: rd.Dataset, cand: rd.Dataset, threshold: float
 ) -> pa.Table:
     """Exact char-5-gram Jaccard for candidate pairs; keeps jaccard ≥ τ.
-    Returns (id_a, id_b, jaccard) sorted. Candidate set is assumed
-    driver-small (near-dup fraction ≪ 1)."""
-    pairs = cand.to_pandas()
-    if len(pairs) == 0:
+    Returns (id_a, id_b, jaccard) sorted by (id_a, id_b).
+
+    Fully distributed (round-1 verdict item 1): candidate pairs are joined
+    against per-doc shingle sets via the partitioned hash join — once on
+    id_a, once on id_b — and exact Jaccard runs inside map_batches. Only
+    the ≥τ-filtered RESULT (the answer itself) is collected. The involved-id
+    set shrinks the shingle side first: broadcast semi-join below
+    BROADCAST_MAX_INVOLVED, hash-join semi-join above it."""
+    from ppagerank_ray.ops.joins import hash_join
+
+    cand = cand.materialize()
+    inv = _involved_ids(cand).materialize()
+    n_inv = inv.count()
+    if n_inv == 0:
+        return _empty_pairs()
+    doc_cols = docs.select_columns(["doc_id", "text"])
+    if n_inv <= BROADCAST_MAX_INVOLVED:
+        ids_arr = np.sort(
+            np.concatenate(
+                [t["doc_id"].to_numpy() for t in ray.get(inv.to_arrow_refs()) if t.num_rows]
+            )
+        )
+        ids_ref = ray.put(ids_arr)
+
+        def filt(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            ids = t["doc_id"].to_numpy()
+            pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
+            return t.filter(pa.array(want[pos] == ids))
+
+        docs_inv = doc_cols.map_batches(filt, batch_format="pyarrow")
+    else:
+        docs_inv = hash_join(doc_cols, inv, "doc_id", "doc_id")
+    sh = docs_inv.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+
+    j1 = hash_join(cand, sh, "id_a", "doc_id").map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "sh_a"]), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, sh, "id_b", "doc_id")
+
+    def jac(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy()
+        ib = t["id_b"].to_numpy()
+        sh_a = t["sh_a"].to_pylist()
+        sh_b = t["sh"].to_pylist()
+        j = np.full(len(ia), -1.0)
+        for i in range(len(ia)):
+            sa = np.frombuffer(sh_a[i], dtype=np.int64)
+            sb = np.frombuffer(sh_b[i], dtype=np.int64)
+            if len(sa) == 0 and len(sb) == 0:
+                continue  # both empty: undefined, skip (matches round-1)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j[i] = inter / (len(sa) + len(sb) - inter)
+        keep = j >= threshold
         return pa.Table.from_pydict(
             {
-                "id_a": np.empty(0, np.int64),
-                "id_b": np.empty(0, np.int64),
-                "jaccard": np.empty(0, np.float64),
-            }
-        )
-    involved = set(pairs["id_a"]) | set(pairs["id_b"])
-    involved_ref = ray.put(involved)
-
-    def shingles_of_involved(t: pa.Table) -> pa.Table:
-        want = ray.get(involved_ref)
-        ids = t["doc_id"].to_numpy()
-        keep = [i for i, d in enumerate(ids) if int(d) in want]
-        out_ids, out_sh = [], []
-        texts = t["text"].to_pylist()
-        for i in keep:
-            out_ids.append(int(ids[i]))
-            out_sh.append(shingle_hashes(texts[i]).astype(np.int64))
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(out_ids, type=pa.int64()),
-                "sh": pa.array(out_sh, type=pa.list_(pa.int64())),
+                "id_a": ia[keep].astype(np.int64),
+                "id_b": ib[keep].astype(np.int64),
+                "jaccard": np.round(j[keep], 6),
             }
         )
 
-    sh_tbl = (
-        docs.select_columns(["doc_id", "text"])
-        .map_batches(shingles_of_involved, batch_format="pyarrow")
-        .to_pandas()
-    )
-    sh_map = {int(r.doc_id): set(r.sh) for r in sh_tbl.itertuples()}
-    out_a, out_b, out_j = [], [], []
-    for r in pairs.itertuples():
-        a, b = sh_map[int(r.id_a)], sh_map[int(r.id_b)]
-        if not a and not b:
-            continue
-        inter = len(a & b)
-        jac = inter / (len(a) + len(b) - inter)
-        if jac >= threshold:
-            out_a.append(int(r.id_a))
-            out_b.append(int(r.id_b))
-            out_j.append(round(jac, 6))
-    order = np.lexsort((out_b, out_a)) if out_a else np.empty(0, np.int64)
-    return pa.Table.from_pydict(
-        {
-            "id_a": np.asarray(out_a, np.int64)[order],
-            "id_b": np.asarray(out_b, np.int64)[order],
-            "jaccard": np.asarray(out_j, np.float64)[order],
-        }
-    )
+    # collect the ANSWER (≥τ pairs) only — never the full dataset
+    out = j2.map_batches(jac, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False) if len(out) else _empty_pairs()
 
 
 def near_dup_pairs(docs: rd.Dataset, threshold: float = 0.7) -> pa.Table:
@@ -287,35 +410,72 @@ def exact_dedup(docs: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+_TOKEN_CACHE: dict[str, int] = {}
+
+
 def _token_hash64(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes (FNV-1a, vector-friendly)."""
+    """64-bit token hash = first 8 bytes (big-endian) of md5(token).
+
+    md5 runs in C via hashlib — no per-byte Python loop — and distinct
+    tokens are memoized per worker process (natural-language token sets are
+    tiny vs. token streams). md5 (not FNV) so the DuckDB oracle can compute
+    the identical hash with its built-in md5()."""
+    import hashlib
+
     out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_CACHE
     for i, tok in enumerate(tokens):
-        h = np.uint64(0xCBF29CE484222325)
-        for c in tok.encode("utf-8"):
-            h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            if len(cache) < (1 << 20):
+                cache[tok] = h
         out[i] = h
     return out
 
 
+def _simhash_values(texts: list[str]) -> np.ndarray:
+    """uint64 SimHash per text: bit b set iff Σ_tokens bit_b(hash) * 2 > n
+    (majority vote; duplicate tokens weigh by multiplicity; empty → 0).
+    Bit counting is segment-summed over the whole batch's token stream —
+    chunked so the tokens×64 temp stays small."""
+    n = len(texts)
+    toks = [x.split() for x in texts]
+    counts = np.fromiter((len(tk) for tk in toks), dtype=np.int64, count=n)
+    hs = _token_hash64([tok for tk in toks for tok in tk])
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    CHUNK = 1 << 17  # tokens per chunk (~32 MB of int32 bits)
+    d0 = 0
+    while d0 < n:
+        d1 = int(np.searchsorted(offs, offs[d0] + CHUNK, side="right")) - 1
+        d1 = min(max(d1, d0 + 1), n)
+        a0, a1 = int(offs[d0]), int(offs[d1])
+        if a1 > a0:
+            bits = (
+                (hs[a0:a1, None] >> shifts[None, :]) & np.uint64(1)
+            ).astype(np.int32)
+            nz = np.flatnonzero(counts[d0:d1] > 0)
+            ones = np.add.reduceat(bits, offs[d0:d1][nz] - a0, axis=0)
+            maj = (ones.astype(np.int64) * 2) > counts[d0 + nz, None]
+            out[d0 + nz] = (maj.astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        d0 = d1
+    return out
+
+
 def simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
-        return 0
-    hs = _token_hash64(toks)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-        np.int64
-    )
-    counts = bits.sum(axis=0)
-    sig = (counts * 2 > len(toks)).astype(np.uint64)
-    return int((sig << np.arange(64, dtype=np.uint64)).sum())
+    return int(_simhash_values([text])[0])
 
 
 def simhash_batch(t: pa.Table) -> pa.Table:
-    sigs = np.array(
-        [simhash64(x) for x in t["text"].to_pylist()], dtype=np.uint64
-    ).astype(np.int64)
-    return pa.Table.from_pydict({"doc_id": t["doc_id"], "simhash": sigs})
+    sigs = _simhash_values(t["text"].to_pylist())
+    # hex encoding (not int64) so the value is portable to the SQL oracle
+    # without signed-overflow games on bit 63
+    hexes = [format(int(v), "016x") for v in sigs]
+    return pa.Table.from_pydict(
+        {"doc_id": t["doc_id"], "simhash": pa.array(hexes, type=pa.string())}
+    )
 
 
 def simhashes(docs: rd.Dataset) -> rd.Dataset:

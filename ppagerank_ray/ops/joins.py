@@ -20,18 +20,38 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def _bucket_of(col: pa.ChunkedArray, n_buckets: int) -> np.ndarray:
-    """Deterministic bucket: FNV-1a over utf-8 for strings (python hash() is
-    salted and unusable across processes), plain modulo for integers."""
+def fnv1a64(col) -> np.ndarray:
+    """Vectorized FNV-1a over each string's utf-8 bytes (python hash() is
+    salted and unusable across processes). One numpy pass per byte POSITION
+    (loop length = longest string), all rows advanced in lockstep, reading
+    straight from the Arrow offsets/data buffers — no per-string Python.
+    uint64 arithmetic wraps mod 2^64 exactly like the scalar FNV."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.cast(pa.large_utf8())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    n = len(arr)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if n == 0:
+        return h
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    base = off[:-1]
+    prime = np.uint64(0x100000001B3)
+    for j in range(int(lens.max()) if n else 0):
+        act = np.flatnonzero(lens > j)
+        b = data[base[act] + j].astype(np.uint64)
+        h[act] = (h[act] ^ b) * prime
+    return h
+
+
+def _bucket_of(col, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket: vectorized FNV-1a for strings, plain modulo for
+    integers."""
     if pa.types.is_integer(col.type):
         return (col.to_numpy() % n_buckets).astype(np.int64)
-    out = np.empty(len(col), dtype=np.int64)
-    for i, v in enumerate(col.to_pylist()):
-        h = 0xCBF29CE484222325
-        for b in v.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h % n_buckets
-    return out
+    return (fnv1a64(col) % np.uint64(n_buckets)).astype(np.int64)
 
 
 def hash_join(
@@ -68,20 +88,36 @@ def hash_join(
         **{n: rschema.field(n).type for n in rcols},
     }
 
-    def pad(missing: list[str]):
+    # pad + reorder to ONE canonical column order: Dataset.union requires
+    # identical schemas incl. column order (mismatch silently misaligns
+    # blocks downstream)
+    order = lcols + [c for c in rcols if c not in lcols] + ["__bucket", "__side"]
+
+    def canon(missing: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             for c in missing:
                 t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
-            return t
+            return t.select(order)
 
         return fn
 
-    lt = lt.map_batches(pad([c for c in rcols if c not in lcols]), batch_format="pyarrow")
-    rt = rt.map_batches(pad([c for c in lcols if c not in rcols]), batch_format="pyarrow")
+    lt = lt.map_batches(canon([c for c in rcols if c not in lcols]), batch_format="pyarrow")
+    rt = rt.map_batches(canon([c for c in lcols if c not in rcols]), batch_format="pyarrow")
+
+    # each side's rows carry NULLs in the OTHER side's columns, which makes
+    # pandas upcast sliced int columns to float64; cast back so (a) join
+    # keys compare as ints and (b) the output schema matches the inputs —
+    # without this a chained hash_join re-buckets float keys and loses rows
+    int_cols = {c for c in types if pa.types.is_integer(types[c])}
+
+    def _restore(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+        df = df[cols]
+        casts = {c: np.int64 for c in cols if c in int_cols and df[c].dtype != np.int64}
+        return df.astype(casts) if casts else df
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["__side"] == 0][lcols]
-        rf = g[g["__side"] == 1][rcols]
+        lf = _restore(g[g["__side"] == 0], lcols)
+        rf = _restore(g[g["__side"] == 1], rcols)
         out = lf.merge(
             rf, left_on=left_key, right_on=right_key, how=how, suffixes=("", "_r")
         )

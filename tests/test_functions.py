@@ -78,7 +78,7 @@ def test_near_dup_pairs_match_bruteforce(sf_small):
 
 def test_simhash_near_dups_have_close_hashes(sf_small):
     out = simhashes(_docs_ds(sf_small)).to_pandas()
-    sig = dict(zip(out["doc_id"], out["simhash"].astype(np.uint64)))
+    sig = {d: int(s, 16) for d, s in zip(out["doc_id"], out["simhash"])}
     near = near_dup_pairs(_docs_ds(sf_small), threshold=0.8).to_pandas()
     assert len(near) > 0
     hd_near = [
