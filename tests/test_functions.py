@@ -139,6 +139,70 @@ def test_ann_lsh_recall(sf_small):
     assert hits / 5 >= 0.5  # approximate, but must beat random by far
 
 
+def test_near_dup_embeddings_matches_bruteforce(sf_small):
+    from ppagerank_ray.functions.similarity import near_dup_embeddings
+
+    t = _emb_ds(sf_small).to_pandas()
+    ids = t["vec_id"].to_numpy()
+    M = np.array(t["embedding"].tolist(), dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    exp = sorted(
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and S[i, j] >= 0.4
+    )
+    got = near_dup_embeddings(_emb_ds(sf_small), threshold=0.4).to_pandas()
+    assert sorted(zip(got["id_a"].astype(int), got["id_b"].astype(int))) == exp
+    assert len(exp) > 0
+
+
+def test_near_dup_embeddings_lsh_recall_on_planted_dups():
+    """LSH scale path: plant near-duplicate vectors (cos ≳ 0.95); the
+    bucketed pipeline must recover most of them with exact cosines."""
+    from ppagerank_ray.functions.similarity import near_dup_embeddings
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, 16))
+    dup = base[:40] + 0.05 * rng.standard_normal((40, 16))
+    M = np.vstack([base, dup])
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": np.arange(len(M), dtype=np.int64), "embedding": list(M)}
+        )
+    )
+    exact = near_dup_embeddings(ds, threshold=0.9, method="exact").to_pandas()
+    lsh = near_dup_embeddings(ds, threshold=0.9, method="lsh").to_pandas()
+    se = set(zip(exact["id_a"], exact["id_b"]))
+    sl = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert len(se) >= 30  # the planted pairs are really there
+    assert sl <= se  # exact verify ⇒ no false positives
+    assert len(se & sl) / len(se) >= 0.8  # recall of the bucketed path
+
+
+def test_hash_join_chained_preserves_int_dtypes():
+    """Regression: null-padding upcast int keys to float inside the merge,
+    which silently re-bucketed (and dropped) rows in a SECOND hash_join."""
+    from ppagerank_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(0)
+    left = pa.Table.from_pydict(
+        {"id_a": rng.integers(0, 50, 300), "id_b": rng.integers(0, 50, 300)}
+    )
+    right = pa.Table.from_pydict(
+        {"doc_id": np.arange(50), "payload": [bytes([i]) * 3 for i in range(50)]}
+    )
+    l, r = rd.from_arrow(left), rd.from_arrow(right)
+    j1 = hash_join(l, r, "id_a", "doc_id").map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b", "p_a"]), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, r, "id_b", "doc_id").materialize()
+    assert j2.count() == 300
+    tb = j2.take_batch(5, batch_format="pyarrow")
+    assert str(tb["id_a"].type) == "int64" and str(tb["id_b"].type) == "int64"
+
+
 def test_media_features_plumbing(sf_small):
     from ppagerank_ray.functions.multimodal import (
         MediaFeatureExtractor,
