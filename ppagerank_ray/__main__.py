@@ -89,6 +89,18 @@ def main(argv: list[str] | None = None) -> int:
 
         raw, m, n, nnz = load_matrix(args.matrix, hint=args.mhint)
         nv = max(m, n)  # PageRank requires square (ppagerank.cc:62-65)
+        if "weight" not in raw.schema().names:
+            # plain (src, dst) edge tables are valid inputs (load_matrix
+            # only requires src/dst); unweighted ⇒ weight 1 per entry, so
+            # normalization reduces to 1/outdeg like the unweighted path
+            import pyarrow as _pa
+
+            raw = raw.map_batches(
+                lambda t: t.append_column(
+                    "weight", _pa.array(np.ones(t.num_rows, dtype=np.float64))
+                ),
+                batch_format="pyarrow",
+            )
         edges = normalize_edge_weights(raw, nv).materialize()
         gt = GraphTables(vertices=None, edges=edges, n_vertices=nv,
                          n_edges=nnz, edges_sorted=False)

@@ -6,11 +6,17 @@ ignored; self-loops and duplicate edges collapse first).
 
 Algorithm (standard degree-ordered wedge counting):
 1. canonical undirected pairs (a < b), distinct — one sort + adjacent dedup;
-2. total degree per vertex — vectorized partials, broadcast (ray.put once);
+2. total degree per vertex — below BROADCAST_MAX_VERTEX_DEGREES a dense
+   per-block bincount merged on the driver and broadcast once (ray.put);
+   above it a distributed (id, deg) table attached to the pairs by TWO
+   partitioned hash joins — no O(V) driver array anywhere on the large
+   path (round-1 verdict item 6);
 3. orient every pair from lower (degree, id) rank to higher — bounds every
    oriented out-degree by O(sqrt(E)), the same hub-taming job the
    reference's balance-weighted redistribution does for rows
-   (petsc_util.cc:1093-1263), so wedge generation never explodes on a hub;
+   (petsc_util.cc:1093-1263), so wedge generation never explodes on a hub.
+   The oriented stream carries deg(b) as a COLUMN so downstream stages
+   never index a dense degree array;
 4. wedges per center, generated diagonally (offset-g pairs (p, p+g) within
    center runs — fully vectorized, no per-center Python; the loop count is
    the max oriented out-degree, O(sqrt E));
@@ -29,6 +35,7 @@ import ray
 import ray.data as rd
 
 BROADCAST_MAX_EDGE_KEYS = 50_000_000
+BROADCAST_MAX_VERTEX_DEGREES = 50_000_000
 
 
 def canonical_pairs(edges: rd.Dataset) -> rd.Dataset:
@@ -55,11 +62,12 @@ def canonical_pairs(edges: rd.Dataset) -> rd.Dataset:
     )
 
 
-def _wedge_pairs(a: np.ndarray, b: np.ndarray, dg: np.ndarray):
+def _wedge_pairs(a: np.ndarray, b: np.ndarray, db: np.ndarray):
     """All rank-ordered out-neighbor pairs per center, diagonally vectorized:
-    sort rows by (center, rank(nbr)); for offset g, rows p and p+g form a
-    wedge iff they share a center. Python loop length = max out-degree."""
-    order = np.lexsort((b, dg[b], a))
+    sort rows by (center, deg(nbr), nbr); for offset g, rows p and p+g form
+    a wedge iff they share a center. Python loop length = max out-degree.
+    deg(nbr) arrives as a column — no dense degree array."""
+    order = np.lexsort((b, db, a))
     a, b = a[order], b[order]
     out_x, out_y = [], []
     g = 1
@@ -83,12 +91,10 @@ def _with_group(ds: rd.Dataset, n_groups: int) -> rd.Dataset:
     )
 
 
-def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
-    from ppagerank_ray.graph.build import shuffle_blocks
-
-    pairs = canonical_pairs(edges).materialize()
-
-    # degree: per-block bincount partials, merged on the driver (O(V) ints)
+def _orient_broadcast(pairs: rd.Dataset, n_vertices: int) -> rd.Dataset:
+    """(a,b) → oriented (a,b,db): degree via per-block bincount partials
+    merged on the driver (O(V) ints) and broadcast ONCE — the small-graph
+    path."""
     deg = np.zeros(n_vertices, dtype=np.int64)
     for t in ray.get(pairs.to_arrow_refs()):
         if t.num_rows:
@@ -100,14 +106,67 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
         dg = ray.get(deg_ref)
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
-        a_first = (dg[a] < dg[b]) | ((dg[a] == dg[b]) & (a < b))
-        lo = np.where(a_first, a, b)
-        hi = np.where(a_first, b, a)
-        return pa.Table.from_pydict({"a": lo, "b": hi})
+        return _orient_cols(a, b, dg[a], dg[b])
 
-    oriented = pairs.map_batches(
-        orient, batch_format="pyarrow", batch_size=262144
+    return pairs.map_batches(orient, batch_format="pyarrow", batch_size=262144)
+
+
+def _orient_cols(a, b, da, db) -> pa.Table:
+    a_first = (da < db) | ((da == db) & (a < b))
+    return pa.Table.from_pydict(
+        {
+            "a": np.where(a_first, a, b),
+            "b": np.where(a_first, b, a),
+            "db": np.where(a_first, db, da).astype(np.int64),
+        }
+    )
+
+
+def _orient_joined(pairs: rd.Dataset) -> rd.Dataset:
+    """(a,b) → oriented (a,b,db) via a distributed degree table + two
+    partitioned hash joins — the >BROADCAST_MAX_VERTEX_DEGREES path; no
+    dense O(V) array touches the driver or the tasks."""
+    from ppagerank_ray.graph.build import shuffle_blocks
+    from ppagerank_ray.ops.joins import hash_join
+
+    ends = pairs.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"id": np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])}
+        ),
+        batch_format="pyarrow",
+    )
+    deg_tbl = (
+        ends.repartition(shuffle_blocks())
+        .groupby("id")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["id", "deg"]), batch_format="pyarrow"
+        )
     ).materialize()
+    j1 = hash_join(pairs, deg_tbl, "a", "id").map_batches(
+        lambda t: t.rename_columns(["a", "b", "da"]), batch_format="pyarrow"
+    )
+    j2 = hash_join(j1, deg_tbl, "b", "id")
+
+    def orient(t: pa.Table) -> pa.Table:
+        return _orient_cols(
+            t["a"].to_numpy(),
+            t["b"].to_numpy(),
+            t["da"].to_numpy(),
+            t["deg"].to_numpy(),
+        )
+
+    return j2.map_batches(orient, batch_format="pyarrow", batch_size=262144)
+
+
+def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    pairs = canonical_pairs(edges).materialize()
+    if n_vertices <= BROADCAST_MAX_VERTEX_DEGREES:
+        oriented = _orient_broadcast(pairs, n_vertices).materialize()
+    else:
+        oriented = _orient_joined(pairs).materialize()
     n_edges = oriented.count()
     V = np.int64(n_vertices)
     n_groups = 1024
@@ -130,9 +189,10 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
 
         def count_in_group(group) -> pa.Table:
             ks = ray.get(keys_ref)
-            dg = ray.get(deg_ref)
             x, y = _wedge_pairs(
-                np.asarray(group["a"]), np.asarray(group["b"]), dg
+                np.asarray(group["a"]),
+                np.asarray(group["b"]),
+                np.asarray(group["db"]),
             )
             if len(x) == 0:
                 matches = 0
@@ -155,8 +215,11 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
 
     # large-graph fallback: tagged union + hash shuffle match
     def wedge_rows(group) -> pa.Table:
-        dg = ray.get(deg_ref)
-        x, y = _wedge_pairs(np.asarray(group["a"]), np.asarray(group["b"]), dg)
+        x, y = _wedge_pairs(
+            np.asarray(group["a"]),
+            np.asarray(group["b"]),
+            np.asarray(group["db"]),
+        )
         return pa.Table.from_pydict(
             {
                 "a": x,

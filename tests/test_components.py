@@ -109,3 +109,16 @@ def test_triangles_match_oracle(sf_tiny):
     expected = numpy_triangle_oracle(src, dst)
     assert triangle_count(gt.edges, gt.n_vertices) == expected
     assert expected > 0  # fixture actually has triangles
+
+
+def test_triangles_large_graph_paths(sf_tiny, monkeypatch):
+    """Force BOTH >threshold fallbacks (joined degree orientation + tagged
+    union edge matching) and compare against the broadcast-path answer."""
+    import ppagerank_ray.algos.triangles as tri
+
+    gt = build_graph(synth_pages(sf_tiny))
+    expected = triangle_count(gt.edges, gt.n_vertices)
+    monkeypatch.setattr(tri, "BROADCAST_MAX_VERTEX_DEGREES", 1)
+    monkeypatch.setattr(tri, "BROADCAST_MAX_EDGE_KEYS", 1)
+    assert tri.triangle_count(gt.edges, gt.n_vertices) == expected
+    assert expected > 0

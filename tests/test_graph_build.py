@@ -111,3 +111,44 @@ def test_hash_join_matches_broadcast_mapping(sf_tiny):
     et = gt.edges.to_pandas()
     # hash-join output keeps duplicates; compare the deduped sets
     assert sorted(set(got_pairs)) == sorted(zip(et["src"], et["dst"]))
+
+
+def test_normalize_edge_weights_join_path_matches_broadcast(monkeypatch):
+    import ray.data as rd
+    import ppagerank_ray.graph.build as gb
+
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    w = rng.uniform(0.1, 2.0, 300)
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"src": src, "dst": dst, "weight": w})
+    )
+    dense = (
+        gb.normalize_edge_weights(ds, 40)
+        .to_pandas()
+        .sort_values(["src", "dst", "weight"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(gb, "BROADCAST_MAX_VERTICES", 1)
+    joined = (
+        gb.normalize_edge_weights(ds, 40)
+        .to_pandas()
+        .sort_values(["src", "dst", "weight"])
+        .reset_index(drop=True)
+    )
+    assert (dense[["src", "dst"]].values == joined[["src", "dst"]].values).all()
+    np.testing.assert_allclose(dense["weight"], joined["weight"], rtol=1e-12)
+    # row sums are 1 for rows with entries
+    sums = dense.groupby("src")["weight"].sum()
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-12)
+
+
+def test_fast_build_external_guard_falls_back(sf_tiny, monkeypatch):
+    import ppagerank_ray.graph.build as gb
+
+    monkeypatch.setattr(gb, "EXT_MAX_URLS", 0)
+    with pytest.raises(AssertionError):
+        gb.build_graph_fast(synth_pages(sf_tiny))
+    gt = gb.build_graph(synth_pages(sf_tiny))  # falls back to generic
+    assert gt.n_edges > 0 and not gt.edges_sorted
