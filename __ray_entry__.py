@@ -299,15 +299,22 @@ def _q_triangles(sf_dir: str):
     return pa.Table.from_pydict({"n_triangles": pa.array([n], pa.int64())})
 
 
+RUNSCRIPT_ALPHAS = [0.95, 0.85, 0.7]
+RUNSCRIPT_ITERS = 12
+
+
 def _q_runscript(sf_dir: str):
     """Script mode (reference -script, ppagerank_main.cc:368-404): several
-    configs against ONE loaded+normalized graph/engine."""
+    configs against ONE loaded+normalized graph/engine. Fixed-iteration
+    power runs so the per-run summary (iterations + top-ranked vertex) is
+    exactly SQL-checkable; convergence-driven and multi-algorithm script
+    runs are covered by pytest (test_runscript_shares_one_graph) and the
+    CLI (reference test_script syntax)."""
     from ppagerank_ray.pipelines.runscript import run_script
 
     specs = [
-        {"alg": "power", "alpha": 0.95, "tol": 1e-7},
-        {"alg": "inout", "alpha": 0.95, "tol": 1e-7},
-        {"alg": "power", "alpha": 0.85, "tol": 1e-7},
+        {"alg": "power", "alpha": a, "tol": 0.0, "maxiter": RUNSCRIPT_ITERS}
+        for a in RUNSCRIPT_ALPHAS
     ]
     return run_script(sf_dir, specs)
 
@@ -512,7 +519,7 @@ undb AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS s
 """
 
 
-def _pagerank_sql(iters: int, pvec: bool) -> str:
+def _pagerank_sql(iters: int, pvec: bool, alpha: float = ALPHA) -> str:
     parts = [_GRAPH_CTES]
     if pvec:
         parts.append(
@@ -526,7 +533,7 @@ def _pagerank_sql(iters: int, pvec: bool) -> str:
     for t in range(1, iters + 1):
         parts.append(
             f""", y{t} AS MATERIALIZED (
-  SELECT e.dst AS id, {ALPHA}*sum(p.x / d.outdeg) AS ax
+  SELECT e.dst AS id, {alpha}*sum(p.x / d.outdeg) AS ax
   FROM edges e JOIN pr{t-1} p ON e.src = p.id JOIN deg d ON e.src = d.id
   GROUP BY e.dst
 )"""
@@ -645,6 +652,15 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
             f"SELECT lab AS component, count(*)::BIGINT AS n_vertices FROM cc{CC_ITERS} GROUP BY lab",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
+        "runscript": " UNION ALL ".join(
+            f"""SELECT * FROM (
+  SELECT {r}::BIGINT AS run, 'power' AS alg, {a} AS alpha,
+         {RUNSCRIPT_ITERS}::BIGINT AS iterations, FALSE AS converged,
+         id AS top_id, score AS top_score
+  FROM ({_pagerank_sql(RUNSCRIPT_ITERS, pvec=False, alpha=a)})
+  ORDER BY score DESC, id ASC LIMIT 1)"""
+            for r, a in enumerate(RUNSCRIPT_ALPHAS)
+        ),
         "triangle_count": f"""WITH {_GRAPH_CTES}
 SELECT count(*)::BIGINT AS n_triangles
 FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",

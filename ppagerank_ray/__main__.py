@@ -26,6 +26,34 @@ import sys
 import time
 
 
+def parse_spec_line(line: str) -> dict:
+    """One -script line → run-spec dict. Accepts BOTH this engine's JSON
+    lines and the reference's CLI-option-line syntax
+    (`-alpha 0.95 -alg arnoldi`, ppagerank_main.cc:368-404 /
+    util/command_line.hpp:39-132), so the reference's own test_script runs
+    verbatim."""
+    import shlex
+
+    if line.startswith("{"):
+        return json.loads(line)
+    toks = shlex.split(line)
+    spec: dict = {}
+    i = 0
+    while i < len(toks):
+        tok = toks[i]
+        if tok.startswith("-"):
+            key = tok.lstrip("-")
+            if i + 1 < len(toks) and not toks[i + 1].startswith("-"):
+                spec[key] = toks[i + 1]
+                i += 2
+            else:
+                spec[key] = True  # bare flag (e.g. -trans)
+                i += 1
+        else:
+            i += 1
+    return spec
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ppagerank_ray")
     g_in = ap.add_mutually_exclusive_group(required=True)
@@ -136,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
                 line = line.strip()
                 if not line:
                     continue
-                spec = json.loads(line)
+                spec = parse_spec_line(line)
                 fn = algos.get(spec.get("alg", "power"))
                 if fn is None:  # tolerate unknown alg (ppagerank_main.cc:449-452)
                     runs.append({"run": i, "error": "unknown alg"})

@@ -53,6 +53,7 @@ def power_iteration(
     y = P'x ; y *= α ; ω = 1 − ‖y‖₁ ; y += ω·v ; δ = ‖y − x‖₁ ; x ← y."""
     use_pvec = v is not None
     start_iter = 0
+    names = ["x", "v"] if use_pvec else ["x"]
     if checkpoint_dir and resume:
         manifest = VertexEngine.read_manifest(checkpoint_dir)
         if manifest is not None and manifest.get("algorithm") == "power":
@@ -63,9 +64,22 @@ def power_iteration(
                     f"(manifest fingerprint {fp} != loaded graph); "
                     "pass resume=False or a fresh checkpoint_dir"
                 )
+            # the solver CONFIG must match too — resuming α=0.9 state into
+            # an α=0.85 run silently converges to the wrong fixpoint
+            if manifest.get("alpha") is not None and manifest["alpha"] != cfg.alpha:
+                raise ValueError(
+                    f"checkpoint alpha {manifest['alpha']} != requested "
+                    f"{cfg.alpha}; pass resume=False or a fresh checkpoint_dir"
+                )
+            if manifest.get("names") is not None and manifest["names"] != names:
+                raise ValueError(
+                    "checkpoint personalization-vector usage differs from "
+                    "this run; pass resume=False or a fresh checkpoint_dir"
+                )
             engine.restore_checkpoint(checkpoint_dir, manifest)
             start_iter = manifest["iteration"]
-            if manifest.get("converged"):
+            # a checkpoint converged at a LOOSER tol must keep iterating
+            if manifest.get("converged") and manifest.get("tol", cfg.tol) <= cfg.tol:
                 return manifest
     if start_iter == 0:
         _init_x(engine, v)
@@ -74,7 +88,6 @@ def power_iteration(
     x_refs = engine.slice_refs("x")
     delta = float("inf")
     converged = False
-    names = ["x", "v"] if use_pvec else ["x"]
     it = start_iter
     import ray
 
@@ -301,9 +314,17 @@ def arnoldi(
         alpha_h = scal("vec_dot", "V0", "w")
         H[0, 0] = alpha_h
         wall("vec_waxpy", "g", -alpha_h, "V0", "w")
+        kk = k  # effective basis size (shrinks on Krylov breakdown)
         for j in range(k - 1):
             wall("vec_copy", "g", basis[j + 1])
             beta_h = np.sqrt(scal("vec_norm2sq", basis[j + 1]))
+            if beta_h < 1e-13 * max(1.0, np.abs(H).max()):
+                # Krylov space exhausted (effective dimension < k, e.g.
+                # tiny graphs): keep the j+1 vectors built so far instead
+                # of dividing by ~0 and filling the basis with inf/NaN
+                H[j + 1, j] = beta_h
+                kk = j + 1
+                break
             wall("vec_scale", basis[j + 1], 1.0 / beta_h)
             H[j + 1, j] = beta_h
             pagerank_mult(engine, cfg, basis[j + 1], "w", use_pvec)
@@ -315,23 +336,27 @@ def arnoldi(
             H[: j + 2, j + 1] = dots
             wall("vec_copy", "w", "g")
             wall("vec_maxpy", "g", [-d for d in dots], basis[: j + 2])
-        H[k, k - 1] = np.sqrt(scal("vec_norm2sq", "g"))
-        H[np.arange(k), np.arange(k)] -= 1.0  # (A − I) shift, ppagerank.cc:591-594
-        _, _, vt = np.linalg.svd(H, full_matrices=True)
+        if kk == k:
+            H[k, k - 1] = np.sqrt(scal("vec_norm2sq", "g"))
+        Hk = H[: kk + 1, :kk]
+        Hk[np.arange(kk), np.arange(kk)] -= 1.0  # (A−I) shift, ppagerank.cc:591-594
+        _, _, vt = np.linalg.svd(Hk, full_matrices=True)
         vmin = vt[-1]  # right singular vector of the smallest σ
         wall("vec_set_scalar", "x", 0.0)
-        wall("vec_maxpy", "x", [float(c) for c in vmin], basis)
+        wall("vec_maxpy", "x", [float(c) for c in vmin], basis[:kk])
         # convergence: ‖Mx − x‖₁ / ‖x‖₁ (ppagerank.cc:649-657)
         pagerank_mult(engine, cfg, "x", "w", use_pvec)
         wall("vec_axpy", "w", -1.0, "x")
-        delta = scal("vec_norm1", "w") / scal("vec_norm1", "x")
+        delta = scal("vec_norm1", "w") / max(scal("vec_norm1", "x"), 1e-300)
         if verbose:
             print(f"{it:4d}  {delta:10.3e}")
         if delta < cfg.tol:
             break
-    # normalize to a probability vector (sign + L1) for downstream use
+    # normalize to a probability vector (sign + L1) for downstream use;
+    # guard the ~0-sum pathological case by falling back to the L1 norm
     s = scal("vec_sum", "x")
-    wall("vec_scale", "x", 1.0 / s)
+    n1 = scal("vec_norm1", "x")
+    wall("vec_scale", "x", 1.0 / (s if abs(s) > 1e-12 * max(n1, 1e-300) else n1))
     return {"algorithm": "arnoldi", "iteration": it, "residual_l1": delta,
             "converged": delta < cfg.tol}
 

@@ -459,6 +459,40 @@ class _VertexWorker:
             "src_span": [int(self.d_span[0]), int(self.d_span[1])],
         }
 
+    def edge_signature(self) -> list[int]:
+        """Content checksum of this partition's edge block: (count, src span,
+        dst span, order-invariant 64-bit mix of (src, dst, weight-bits)).
+        Two different graphs with identical vertex/edge COUNTS still get
+        different signatures (ADVICE round 1: the count-only fingerprint
+        let a resume silently mix state across same-shaped graphs)."""
+        if self.d_src is None or len(self.d_src) == 0:
+            return [0, 0, 0, 0, 0]
+        s = self.d_src.astype(np.uint64)
+        d = self.d_dst.astype(np.uint64)
+        wbits = self.d_w.view(np.uint64)
+        mix = (
+            (s * np.uint64(0x9E3779B97F4A7C15) ^ d * np.uint64(0xC2B2AE3D27D4EB4F))
+            + wbits
+        ).sum()
+        return [
+            int(len(s)),
+            int(self.d_span[0]),
+            int(self.d_span[1]),
+            int(self.d_dst[0]),
+            int(mix & np.uint64(0xFFFFFFFFFFFFFFFF)),
+        ]
+
+    def vec_top1(self, name: str, decimals: int | None = None) -> tuple[float, int]:
+        """(max value, global id of first max) of the local slice; optional
+        pre-rounding so ties resolve identically to a rounding SQL oracle."""
+        v = self.vecs[name]
+        if self.size == 0:
+            return float("-inf"), -1
+        if decimals is not None:
+            v = np.round(v, decimals)
+        i = int(np.argmax(v))  # first max → lowest id on ties
+        return float(v[i]), int(self.vlo + i)
+
     def result_table(self, name: str, colname: str, integer: bool = False) -> pa.Table:
         ids = np.arange(self.vlo, self.vhi, dtype=np.int64)
         vals = self.ivecs[name] if integer else self.vecs[name]
@@ -559,6 +593,7 @@ class VertexEngine:
         self.n_edges = 0
         self.n_und_edges = 0
         self.history: list[dict] = []
+        self._fingerprint: dict | None = None
 
     # ---------- loading ----------
 
@@ -581,6 +616,7 @@ class VertexEngine:
         )
         self.n_edges = total
         self.d_spans = [(lo, hi) for _, lo, hi in out]
+        self._fingerprint = None  # edge content changed
         return total
 
     def load_undirected(self, und_edges: rd.Dataset):
@@ -699,15 +735,25 @@ class VertexEngine:
         return ray.get([w.partition_stats.remote() for w in self.workers])
 
     def input_fingerprint(self) -> dict:
-        """Cheap structural fingerprint of the loaded graph, recorded in the
-        manifest so resume can detect a different input (n_vertices, n_edges,
-        per-partition edge counts)."""
-        stats = self.partition_stats()
-        return {
-            "n_vertices": self.V,
-            "n_edges": self.n_edges,
-            "partition_edge_counts": [s["directed_edges"] for s in stats],
-        }
+        """Content fingerprint of the loaded graph, recorded in the manifest
+        so resume detects a different input: counts + per-partition edge
+        signatures (span + order-invariant checksum of (src,dst,weight)).
+        Computed once per engine (cached — the edge arrays are immutable
+        after load)."""
+        if getattr(self, "_fingerprint", None) is None:
+            sigs = ray.get([w.edge_signature.remote() for w in self.workers])
+            self._fingerprint = {
+                "n_vertices": self.V,
+                "n_edges": self.n_edges,
+                "partition_signatures": sigs,
+            }
+        return self._fingerprint
+
+    def top1(self, name: str, decimals: int | None = None) -> tuple[float, int]:
+        """Global (max value, id), ties → lowest id; O(P) driver work."""
+        parts = ray.get([w.vec_top1.remote(name, decimals) for w in self.workers])
+        best = max(parts, key=lambda vi: (vi[0], -vi[1]))
+        return float(best[0]), int(best[1])
 
     def write_checkpoint(
         self, ckpt_dir: str, iteration: int, names: list[str], meta: dict

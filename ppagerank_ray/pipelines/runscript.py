@@ -35,7 +35,8 @@ def run_script(sf_dir: str, specs: list[dict]) -> pa.Table:
     engine = VertexEngine(gt.n_vertices, num_partitions=4)
     engine.load_directed(gt.edges)
 
-    rows = {"run": [], "alg": [], "alpha": [], "iterations": [], "converged": []}
+    rows = {"run": [], "alg": [], "alpha": [], "iterations": [],
+            "converged": [], "top_id": [], "top_score": []}
     try:
         for i, spec in enumerate(specs):
             alg = spec.get("alg", "power")
@@ -46,6 +47,8 @@ def run_script(sf_dir: str, specs: list[dict]) -> pa.Table:
                 rows["alpha"].append(float(spec.get("alpha", 0.85)))
                 rows["iterations"].append(-1)
                 rows["converged"].append(False)
+                rows["top_id"].append(-1)
+                rows["top_score"].append(0.0)
                 continue
             cfg = PageRankConfig(
                 alpha=float(spec.get("alpha", 0.85)),
@@ -53,11 +56,18 @@ def run_script(sf_dir: str, specs: list[dict]) -> pa.Table:
                 maxiter=int(spec.get("maxiter", 10000)),
             )
             info = fn(engine, cfg)
+            # per-run summary incl. the top-ranked vertex: distributed
+            # per-partition argmax, O(P) on the driver (reference prints
+            # residuals only — SURVEY K1; the top row is the natural
+            # user-facing summary for a sink-less script run)
+            top_score, top_id = engine.top1("x", decimals=6)
             rows["run"].append(i)
             rows["alg"].append(alg)
             rows["alpha"].append(cfg.alpha)
             rows["iterations"].append(int(info["iteration"]))
             rows["converged"].append(bool(info["converged"]))
+            rows["top_id"].append(top_id)
+            rows["top_score"].append(round(top_score, 6))
     finally:
         engine.shutdown()
     return pa.Table.from_pydict(
@@ -67,5 +77,7 @@ def run_script(sf_dir: str, specs: list[dict]) -> pa.Table:
             "alpha": pa.array(rows["alpha"], pa.float64()),
             "iterations": pa.array(rows["iterations"], pa.int64()),
             "converged": pa.array(rows["converged"], pa.bool_()),
+            "top_id": pa.array(rows["top_id"], pa.int64()),
+            "top_score": pa.array(rows["top_score"], pa.float64()),
         }
     )

@@ -131,3 +131,51 @@ def test_partitioned_output_resumes(graph, tmp_path):
     ).fetchone()
     assert n2 == gt.n_vertices
     e.shutdown()
+
+
+def test_resume_rejects_different_alpha(graph, tmp_path):
+    gt = graph
+    ckpt = str(tmp_path / "ckpt_alpha")
+    e1 = _fresh_engine(gt)
+    power_iteration(e1, PageRankConfig(alpha=0.85, maxiter=3, tol=1e-8),
+                    checkpoint_dir=ckpt, checkpoint_every=1)
+    e1.shutdown()
+    e2 = _fresh_engine(gt)
+    with pytest.raises(ValueError, match="alpha"):
+        power_iteration(e2, PageRankConfig(alpha=0.9, tol=1e-8),
+                        checkpoint_dir=ckpt, checkpoint_every=1)
+    e2.shutdown()
+
+
+def test_resume_rejects_same_shape_different_content(graph, tmp_path):
+    """Same vertex AND edge counts, different edges: the content signature
+    must still reject the resume (ADVICE round 1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    gt = graph
+    ckpt = str(tmp_path / "ckpt_content")
+    e1 = _fresh_engine(gt)
+    power_iteration(e1, PageRankConfig(maxiter=3, tol=1e-8),
+                    checkpoint_dir=ckpt, checkpoint_every=1)
+    e1.shutdown()
+    et = gt.edges.to_pandas()
+    # permute dst cyclically among edges: same counts, different content
+    src = et["src"].to_numpy()
+    dst = np.roll(et["dst"].to_numpy(), 1)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pad = gt.n_edges - len(src)  # keep the edge count identical
+    src = np.concatenate([src, np.zeros(pad, np.int64)])
+    dst = np.concatenate([dst, np.arange(1, pad + 1, dtype=np.int64)])
+    other = rd.from_arrow(pa.Table.from_pydict(
+        {"src": src, "dst": dst, "weight": np.ones(len(src))}
+    ))
+    e2 = VertexEngine(gt.n_vertices, 3)
+    e2.load_directed(other)
+    assert e2.n_edges == gt.n_edges  # shape-identical on counts
+    with pytest.raises(ValueError, match="different graph"):
+        power_iteration(e2, PageRankConfig(tol=1e-8),
+                        checkpoint_dir=ckpt, checkpoint_every=1)
+    e2.shutdown()

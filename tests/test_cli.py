@@ -45,3 +45,20 @@ def test_cli_script_mode_tolerates_unknown_alg(tmp_path):
     )
     assert s["runs"][0]["iterations"] > 0
     assert s["runs"][1] == {"run": 1, "error": "unknown alg"}
+
+
+def test_cli_script_reference_syntax_verbatim(tmp_path):
+    """The reference's own test_script (option-line syntax: `-alpha 0.95` /
+    `-alpha 0.95 -alg arnoldi`, /root/reference/test_script:1-2) must run
+    unmodified: two runs sharing one loaded+normalized graph."""
+    with open("/root/reference/test_script") as f:
+        content = f.read()
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--script",
+         "--out", str(tmp_path / "runs"), "--num-cpus", "4"],
+        stdin=content,
+    )
+    runs = s["runs"]
+    assert [r["alg"] for r in runs] == ["power", "arnoldi"]
+    assert all(r["iterations"] > 0 for r in runs)
+    assert all(r["residual_l1"] < 1e-7 for r in runs)

@@ -139,3 +139,32 @@ def test_arnoldi_converges_to_power_fixpoint(sf_tiny):
     xo, _ = numpy_power_oracle(src, dst, n, tol=1e-13)
     xo /= xo.sum()
     assert np.abs(x - xo).max() < 1e-8
+
+
+def test_arnoldi_breakdown_on_tiny_graph():
+    """Krylov dimension < k=8: the basis exhausts; the guard shrinks the
+    factorization instead of dividing by ~0 (ADVICE round 1)."""
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 0])
+    n = 3
+    engine = VertexEngine(n, 2)
+    engine.load_directed(_edges_ds(src, dst, n))
+    info = arnoldi(engine, PageRankConfig(alpha=0.85, tol=1e-10, maxiter=50))
+    x = engine.to_array("x")
+    engine.shutdown()
+    assert np.all(np.isfinite(x))
+    x_ref, _ = numpy_power_oracle(src, dst, n, tol=1e-14)
+    np.testing.assert_allclose(x, x_ref, atol=1e-8)
+
+
+def test_engine_top1():
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([2, 2, 3, 2])
+    n = 5
+    engine = VertexEngine(n, 3)
+    engine.load_directed(_edges_ds(src, dst, n))
+    power_iteration(engine, PageRankConfig(tol=1e-10))
+    x = engine.to_array("x")
+    val, vid = engine.top1("x")
+    engine.shutdown()
+    assert vid == int(np.argmax(x)) and val == x[np.argmax(x)]
