@@ -58,9 +58,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="ppagerank_ray")
     g_in = ap.add_mutually_exclusive_group(required=True)
     g_in.add_argument("--sf", help="pages input dir with documents.parquet")
-    g_in.add_argument("--matrix", help="BSMAT (+.degs) or parquet edge table "
+    g_in.add_argument("--matrix", help="BSMAT (+.degs), BVGraph basename "
+                      "(.graph/.properties pair) or parquet edge table "
                       "(-m in the reference); weights row-normalized")
-    ap.add_argument("--mhint", default=None, choices=[None, "bsmat", "parquet"],
+    ap.add_argument("--mhint", default=None,
+                    choices=[None, "bsmat", "bvgraph", "parquet"],
                     help="format hint (-mhint in the reference)")
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles"])

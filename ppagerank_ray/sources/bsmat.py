@@ -203,6 +203,15 @@ def load_matrix(path: str, hint: str | None = None):
     cluto/smat/graph-text stubs (ppagerank_main.cc:291-326) are not
     reproduced; unknown formats raise."""
     ext = os.path.splitext(path)[1].lower()
+    if hint == "bvgraph" or ext == ".graph" or (
+        hint is None
+        and os.path.exists(path + ".properties")
+        and os.path.exists(path + ".graph")
+    ):
+        from ppagerank_ray.sources.bvgraph import read_bvgraph
+
+        basename = path[: -len(".graph")] if ext == ".graph" else path
+        return read_bvgraph(basename)
     if hint == "bsmat" or ext in (".bsmat", ".smat") or (
         hint is None and ext == ".gz" and ".bsmat" in path
     ):

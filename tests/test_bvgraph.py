@@ -1,0 +1,176 @@
+"""BVGraph reader: hand-computed bit fixtures (format ground truth per
+/root/reference/bvgraph_matrix.h:267-274 and .cc:155-371), encoder/decoder
+roundtrips across parameter settings, and PageRank on a decoded graph vs
+the numpy oracle via the CLI script mode (the reference test_script
+semantics end-to-end)."""
+
+import numpy as np
+import pytest
+
+from ppagerank_ray.sources.bvgraph import (
+    BitReader,
+    BitWriter,
+    decode_bvgraph,
+    encode_bvgraph,
+    int2nat,
+    nat2int,
+    read_properties,
+)
+
+
+def _bits_to_bytes(s: str) -> bytes:
+    s = s.replace(" ", "")
+    s = s + "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _write_graph(tmp_path, name, bit_string, nodes, arcs, window=7, minint=3, zk=3):
+    base = str(tmp_path / name)
+    with open(base + ".graph", "wb") as f:
+        f.write(_bits_to_bytes(bit_string))
+    with open(base + ".properties", "w") as f:
+        f.write(
+            f"nodes={nodes}\narcs={arcs}\nwindowsize={window}\n"
+            f"maxrefcount=3\nminintervallength={minint}\nzetak={zk}\n"
+        )
+    return base
+
+
+def test_codes_roundtrip_primitives():
+    w = BitWriter()
+    vals = [0, 1, 2, 3, 7, 8, 100, 12345]
+    for v in vals:
+        w.write_gamma(v)
+    for v in vals:
+        w.write_zeta(v, 3)
+    for v in vals:
+        w.write_zeta(v, 2)
+    for v in vals:
+        w.write_unary(v % 20)
+    r = BitReader(w.getvalue())
+    assert [r.read_gamma() for _ in vals] == vals
+    assert [r.read_zeta(3) for _ in vals] == vals
+    assert [r.read_zeta(2) for _ in vals] == vals
+    assert [r.read_unary() for _ in vals] == [v % 20 for v in vals]
+    for i in range(-10, 11):
+        assert nat2int(int2nat(i)) == i
+
+
+def test_decode_hand_computed_residual_and_interval_case(tmp_path):
+    """Graph: 0→{1,2}; 1→{}; 2→{0,1,2}. Hand-encoded with defaults
+    (window 7, minint 3, ζ_3): node 0 all-residual, node 2 one interval.
+
+    node0: outdeg γ(2)=011, ref unary(0)=1, ival-count γ(0)=1,
+           residual0 ζ3(int2nat(1-0)=2): x=3,h=0 → 1|01|1,
+           residual1 ζ3(2-1-1=0): x=1,h=0 → 1|00
+    node1: outdeg γ(0)=1
+    node2: outdeg γ(3)=00100, ref=1, ival-count γ(1)=010,
+           left γ(int2nat(0-2)=3)=00100, len γ(3-3=0)=1
+    """
+    bits = "011 1 1 1011 100" + "1" + "00100 1 010 00100 1"
+    base = _write_graph(tmp_path, "hand1", bits, nodes=3, arcs=5)
+    chunks = list(decode_bvgraph(base))
+    src = np.concatenate([c[0] for c in chunks])
+    dst = np.concatenate([c[1] for c in chunks])
+    assert list(zip(src.tolist(), dst.tolist())) == [
+        (0, 1), (0, 2), (2, 0), (2, 1), (2, 2)]
+
+
+def test_decode_hand_computed_copy_block_case(tmp_path):
+    """Copy blocks: 0→{1,3,5}; 1→{3,5} copies from node 0 with blocks
+    [0,1] (skip '1', copy tail {3,5} via the even-block-count tail rule).
+
+    node0: γ(3)=00100, ref unary(0)=1, ival γ(0)=1,
+           res ζ3(int2nat(1))=ζ3(2)=1 01 1, ζ3(3-1-1=1)=1 10 .. wait:
+           ζ3(1): x=2,h=0,left=1, x<2? no → write 2>>1=1 in 2 bits=01,
+           bit 0 → 1 01 0; ζ3(5-3-1=1) same → 1 01 0
+    node1: γ(2)=011, ref unary(1)=01, block-count γ(2)=011,
+           b0 γ(0)=1, b1 γ(1-1=0)=1  (no ival γ: extra==0)
+    """
+    bits = "00100 1 1 1011 1010 1010" + "011 01 011 1 1"
+    base = _write_graph(tmp_path, "hand2", bits, nodes=2, arcs=5)
+    chunks = list(decode_bvgraph(base))
+    src = np.concatenate([c[0] for c in chunks])
+    dst = np.concatenate([c[1] for c in chunks])
+    assert list(zip(src.tolist(), dst.tolist())) == [
+        (0, 1), (0, 3), (0, 5), (1, 3), (1, 5)]
+
+
+def _random_successors(rng, n, density=0.1, run_bias=True):
+    succ = []
+    for x in range(n):
+        if rng.random() < 0.15:
+            succ.append(np.empty(0, np.int64))
+            continue
+        if run_bias and x > 0 and rng.random() < 0.4:
+            # near-copy of the previous node's list (webgraph locality)
+            base = succ[x - 1]
+            keep = base[rng.random(len(base)) < 0.8] if len(base) else base
+            extra = rng.choice(n, size=rng.integers(0, 4), replace=False)
+            s = np.unique(np.concatenate([keep, extra]))
+        else:
+            m = rng.integers(1, max(2, int(n * density)))
+            s = np.unique(rng.choice(n, size=m, replace=False))
+            if rng.random() < 0.5 and len(s) and s[0] + 5 < n:
+                s = np.unique(np.concatenate([s, np.arange(s[0], s[0] + 5)]))
+        succ.append(s.astype(np.int64))
+    return succ
+
+
+@pytest.mark.parametrize(
+    "window,minint,zk", [(7, 3, 3), (0, 2, 2), (3, 4, 1), (7, 2, 4)]
+)
+def test_encode_decode_roundtrip(tmp_path, window, minint, zk):
+    rng = np.random.default_rng(100 * window + 10 * minint + zk)
+    succ = _random_successors(rng, 60)
+    base = str(tmp_path / f"rt_{window}_{minint}_{zk}")
+    encode_bvgraph(
+        succ, base, window_size=window, min_interval_length=minint, zeta_k=zk
+    )
+    props = read_properties(base)
+    assert props["nodes"] == 60
+    got = {x: np.empty(0, np.int64) for x in range(60)}
+    for src, dst in decode_bvgraph(base):
+        for x in np.unique(src):
+            got[int(x)] = np.concatenate([got[int(x)], dst[src == x]])
+    for x in range(60):
+        np.testing.assert_array_equal(got[x], succ[x], err_msg=f"node {x}")
+
+
+def test_bvgraph_cli_reference_test_script(tmp_path):
+    """The reference's own workflow: `ppagerank -m <graph> -script <
+    test_script` (α=0.95 power + arnoldi on ONE loaded graph). PageRank on
+    the decoded matrix must match the numpy oracle."""
+    import json
+    import subprocess
+    import sys
+
+    from ppagerank_ray.algos.pagerank import numpy_power_oracle
+
+    rng = np.random.default_rng(7)
+    succ = _random_successors(rng, 80)
+    base = str(tmp_path / "cli_graph")
+    encode_bvgraph(succ, base)
+    with open("/root/reference/test_script") as f:
+        script = f.read()
+    out = subprocess.run(
+        [sys.executable, "-m", "ppagerank_ray",
+         "--matrix", base, "--mhint", "bvgraph",
+         "--script", "--out", str(tmp_path / "runs"), "--num-cpus", "4"],
+        input=script, capture_output=True, text=True, cwd="/root/repo",
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    s = json.loads(out.stdout.strip().splitlines()[-1])
+    assert [r["alg"] for r in s["runs"]] == ["power", "arnoldi"]
+    assert all(r["residual_l1"] < 1e-7 for r in s["runs"])
+    # the power run's scores (run_000 parquet) vs the numpy oracle at α=0.95
+    import duckdb
+
+    t = duckdb.sql(
+        f"select id, score from '{tmp_path}/runs/run_000/*.parquet' order by id"
+    ).fetchnumpy()
+    src = np.concatenate([np.full(len(s_), x) for x, s_ in enumerate(succ)]).astype(np.int64)
+    dst = np.concatenate([s_ for s_ in succ]).astype(np.int64)
+    x_ref, _ = numpy_power_oracle(src, dst, 80, alpha=0.95, tol=1e-7)
+    np.testing.assert_allclose(t["score"], x_ref, atol=1e-6)
