@@ -590,6 +590,75 @@ def _lp_sql(iters: int) -> str:
     return "WITH " + "".join(parts) + f"\nSELECT id, lab AS label FROM lp{iters}"
 
 
+def _minhash_candidates_sql() -> str:
+    """Exact SQL replica of functions/dedup.py's MinHash-LSH candidate
+    generation: base-257 5-gram hashes (ASCII fixture: codepoint == byte),
+    the 64 permutation coefficients embedded as literals (same seeded rng),
+    uint64-WRAPPING (a·h + b) via HUGEINT % 2^64 then mod 2^61−1, per-band
+    fold bh = bh·1000003 + sig (wrapping), pairs sharing ≥1 (band, bh).
+    Docs shorter than 5 bytes have the all-sentinel signature (constant
+    folded here in Python)."""
+    import numpy as np
+
+    from ppagerank_ray.functions.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        _MERSENNE,
+        _perm_coeffs,
+    )
+
+    a, b = _perm_coeffs()
+    W = 1 << 64
+    K = 1_000_003
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(len(a))
+    )
+    bh_empty = np.uint64(0)
+    for _ in range(LSH_ROWS):
+        bh_empty = bh_empty * np.uint64(K) + _MERSENNE
+    g5 = " + ".join(
+        f"unicode(substr(g, {i + 1}, 1)) * {257 ** (4 - i)}::HUGEINT"
+        for i in range(5)
+    )
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT d.doc_id, ({g5}) AS h
+  FROM (SELECT doc_id, text FROM documents WHERE length(text) >= 5) d
+  CROSS JOIN (SELECT unnest(generate_series(1,
+      (SELECT max(length(text)) FROM documents))) AS k) s
+  CROSS JOIN LATERAL (SELECT substr(d.text, s.k::INT, 5) AS g) sub
+  WHERE s.k <= length(d.text) - 4
+),
+perms(p, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT g.doc_id, p.p,
+         min(((p.a * g.h) % {W} + p.b) % {W} % 2305843009213693951) AS sig
+  FROM grams g CROSS JOIN perms p
+  GROUP BY g.doc_id, p.p
+),
+bands AS (
+  SELECT doc_id, band,
+         ((((s0 * {K}) % {W} + s1) % {W} * {K} % {W} + s2) % {W} * {K} % {W} + s3) % {W} AS bh
+  FROM (
+    SELECT doc_id, p // {LSH_ROWS} AS band,
+           max(CASE WHEN p % {LSH_ROWS} = 0 THEN sig END) AS s0,
+           max(CASE WHEN p % {LSH_ROWS} = 1 THEN sig END) AS s1,
+           max(CASE WHEN p % {LSH_ROWS} = 2 THEN sig END) AS s2,
+           max(CASE WHEN p % {LSH_ROWS} = 3 THEN sig END) AS s3
+    FROM sigs GROUP BY doc_id, p // {LSH_ROWS}
+  )
+  UNION ALL
+  SELECT doc_id, band, {int(bh_empty)}::HUGEINT AS bh
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band)
+  WHERE length(text) < 5
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id"""
+
+
 _SHINGLE_CTES = """
 maxlen AS (SELECT max(length(text))::BIGINT AS m FROM documents),
 sh AS MATERIALIZED (
@@ -741,6 +810,7 @@ SELECT a AS id_a, b AS id_b,
        round(inter / (ca.c + cb.c - inter)::DOUBLE, 6) AS jaccard
 FROM common JOIN shcnt ca ON a = ca.doc_id JOIN shcnt cb ON b = cb.doc_id
 WHERE inter / (ca.c + cb.c - inter)::DOUBLE >= {JACCARD_T}""",
+        "minhash_candidates": _minhash_candidates_sql(),
         "embedding_knn": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),

@@ -73,6 +73,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--maxiter", type=int, default=10000)
     ap.add_argument("--pvec", default=None,
                     help="parquet file of (id, value) personalization vector")
+    ap.add_argument("--trans", action="store_true",
+                    help="column-stochastic (transposed) normalization — "
+                    "NOT implemented, matching the reference's own untested "
+                    "branch (ppagerank.cc:177-210 marked 'not tested yet'); "
+                    "rejected explicitly rather than silently")
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--partitions", type=int, default=0)
     ap.add_argument("--threads", type=int, default=1)
@@ -85,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="read one JSON run-spec per stdin line (reference -script)")
     ap.add_argument("--num-cpus", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.trans:
+        # surface parity with the reference CLI (-trans,
+        # ppagerank_main.cc:121-122); its normalization branch is marked
+        # untested in the reference itself, so we refuse loudly
+        print(json.dumps({"error": "-trans (column-stochastic) mode is not "
+                          "implemented; the reference marks its own trans "
+                          "branch untested (ppagerank.cc:206-209)"}),
+              file=sys.stderr)
+        return 2
 
     import ray
 
