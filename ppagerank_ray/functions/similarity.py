@@ -301,9 +301,10 @@ def _near_dup_lsh(emb: rd.Dataset, threshold: float) -> pa.Table:
         .select_columns(["id_a", "id_b"])
     )
     rows = emb.map_batches(_emb_binary_rows, batch_format="pyarrow").materialize()
+    cand = cand.materialize()
     j1 = hash_join(cand, rows, "id_a", "vec_id").map_batches(
         lambda t: t.rename_columns(["id_a", "id_b", "e_a"]), batch_format="pyarrow"
-    )
+    ).materialize()
     j2 = hash_join(j1, rows, "id_b", "vec_id")
 
     def verify(t: pa.Table) -> pa.Table:
@@ -432,7 +433,7 @@ def ann_lsh(
         .groupby(["query_id", "vec_id"])
         .count()
         .select_columns(["query_id", "vec_id"])
-    )
+    ).materialize()
     rows = emb.map_batches(_emb_binary_rows, batch_format="pyarrow")
     joined = hash_join(cand, rows, "vec_id", "vec_id")
     q_ref = ray.put((qids, _norm_rows(Q)))

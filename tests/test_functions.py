@@ -238,3 +238,15 @@ def test_runscript_shares_one_graph(sf_tiny):
     assert bool(out["converged"].iloc[0]) and bool(out["converged"].iloc[2])
     # α=0.95 needs more iterations than α=0.85 (spectral radius)
     assert out["iterations"].iloc[0] > out["iterations"].iloc[2]
+
+
+def test_verify_jaccard_join_path_matches_broadcast(sf_small, monkeypatch):
+    """Force the >BROADCAST_MAX_INVOLVED hash-join verification path and
+    compare against the broadcast fast path."""
+    import ppagerank_ray.functions.dedup as dd
+
+    fast = dd.near_dup_pairs(_docs_ds(sf_small), threshold=0.7).to_pandas()
+    monkeypatch.setattr(dd, "BROADCAST_MAX_INVOLVED", 1)
+    joined = dd.near_dup_pairs(_docs_ds(sf_small), threshold=0.7).to_pandas()
+    assert fast.equals(joined)
+    assert len(fast) > 0
