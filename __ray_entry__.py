@@ -388,6 +388,12 @@ def _q_ann_lsh(sf_dir: str):
     return ann_lsh(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from ppagerank_ray.functions.similarity import ann_ivf
+
+    return ann_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
+
+
 def _q_media_features(sf_dir: str):
     from ppagerank_ray.functions.multimodal import (
         media_features,
@@ -437,6 +443,17 @@ def _q_events_windowed(sf_dir: str):
     return out.map_batches(roundv, batch_format="pyarrow")
 
 
+def _q_user_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from ppagerank_ray.functions.windows import sessionize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return sessionize(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # pages / extraction
@@ -474,9 +491,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn": _q_knn,
         "embedding_near_dup": _q_emb_near_dup,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         # multimodal + events
         "media_features": _q_media_features,
         "events_windowed": _q_events_windowed,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -833,4 +852,23 @@ WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= 
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        # gaps-and-islands sessionization, 30-min timeout
+        "user_sessions": """
+WITH d AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+)
+SELECT user_id, sess::BIGINT AS session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sess""",
     }

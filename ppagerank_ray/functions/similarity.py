@@ -470,3 +470,122 @@ def ann_lsh(
     out = _final_topk(partials, k)
     out["cos"] = out["cos"].round(6)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: coarse spherical-k-means quantizer + probed re-rank
+# ---------------------------------------------------------------------------
+
+
+def _spherical_kmeans(S: np.ndarray, n_lists: int, iters: int, seed: int = _SEED):
+    """Seeded Lloyd iterations on row-normalized vectors (cosine metric).
+    Driver-side on a bounded SAMPLE only."""
+    Sn = _norm_rows(S)
+    rng = np.random.default_rng(seed)
+    C = Sn[rng.choice(len(Sn), size=min(n_lists, len(Sn)), replace=False)]
+    for _ in range(iters):
+        a = np.argmax(Sn @ C.T, axis=1)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                C[j] = Sn[m].mean(axis=0)
+        C = _norm_rows(C)
+    return C
+
+
+def ann_ivf(
+    emb: rd.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    sample_cap: int = 4096,
+    kmeans_iters: int = 5,
+) -> pa.Table:
+    """IVF approximate top-k (the classic inverted-file scale path next to
+    the LSH variant): a coarse spherical-k-means quantizer is trained on a
+    bounded deterministic sample (driver-side, O(sample)), every vector is
+    assigned to its nearest centroid in one streaming pass (centroids
+    broadcast once), queries probe their n_probe nearest lists, and the
+    probed candidates re-rank with the same distributed partial/final
+    top-k combiner as knn_bruteforce. Same output schema as knn_bruteforce;
+    approximate by design → recall-tested in pytest, not SQL-oracled."""
+    # deterministic sample: every (N/sample_cap)-th row by position
+    n_total = emb.count()
+    stride = max(1, n_total // sample_cap)
+
+    def pick_sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        return t.filter(pa.array(ids % stride == 0))
+
+    st = (
+        emb.select_columns(["vec_id", "embedding"])
+        .map_batches(pick_sample, batch_format="pyarrow")
+        .take_all()
+    )
+    S = np.array([r["embedding"] for r in st[:sample_cap]], dtype=np.float64)
+    C = _spherical_kmeans(S, n_lists, kmeans_iters)
+    c_ref = ray.put(C)
+
+    qids, Q = _query_matrix(emb, query_ids)
+    Qn = _norm_rows(Q)
+    # (list → query ids probing it): |Q|·n_probe entries, broadcast-tiny
+    probes: dict[int, list[int]] = {}
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, : min(n_probe, len(C))]
+    for qi, lists in enumerate(order):
+        for li in lists:
+            probes.setdefault(int(li), []).append(int(qids[qi]))
+    p_ref = ray.put(probes)
+    q_ref = ray.put((qids, Qn))
+
+    def probe_candidates(t: pa.Table) -> pa.Table:
+        """Assign batch vectors to lists; emit (query_id, vec_id, cos)
+        partial top-k for vectors landing in a probed list — assignment and
+        re-rank fused, no join needed."""
+        pr = ray.get(p_ref)
+        qids_, Qn_ = ray.get(q_ref)
+        qpos = {int(q): i for i, q in enumerate(qids_)}
+        C_ = ray.get(c_ref)
+        ids, M = _unpack_batch(t)
+        empty = pa.Table.from_pydict(
+            {"query_id": np.empty(0, np.int64),
+             "neighbor_id": np.empty(0, np.int64),
+             "cos": np.empty(0, np.float64)}
+        )
+        if len(ids) == 0:
+            return empty
+        Mn = _norm_rows(M)
+        assign = np.argmax(Mn @ C_.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for li in np.unique(assign):
+            qs = pr.get(int(li))
+            if not qs:
+                continue
+            rows = np.flatnonzero(assign == li)
+            sub = Mn[rows]
+            for q in qs:
+                s = sub @ Qn_[qpos[q]]
+                keep = ids[rows] != q
+                cand = np.flatnonzero(keep)
+                take = min(k, len(cand))
+                if take == 0:
+                    continue
+                top = cand[np.lexsort((ids[rows][cand], -s[cand]))[:take]]
+                out_q.append(np.full(take, q, dtype=np.int64))
+                out_v.append(ids[rows][top])
+                out_c.append(s[top])
+        if not out_q:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_v),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    partials = emb.map_batches(probe_candidates, batch_format="pyarrow",
+                               batch_size=4096)
+    out = _final_topk(partials, k)
+    out["cos"] = out["cos"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)

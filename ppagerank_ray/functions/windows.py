@@ -1,0 +1,62 @@
+"""Windowed / sessionized event aggregates over the events table.
+
+The reference has no streaming/window layer (its inputs are static
+matrices); these are engine-only training-data-pipeline operators per the
+build brief ("windowed aggregate, a streaming window" custom-operator
+class), expressed as Ray Data compositions:
+
+* tumbling windows — `floor_temporal` + groupby aggregate (see
+  __ray_entry__._q_events_windowed);
+* sessionization (gaps-and-islands) — ONE hash shuffle
+  (`groupby(user_id)`), then per-group vectorized numpy: sort by
+  (ts, event_id), split where the gap exceeds the timeout. The standard
+  partitioning assumption: one user's events fit one group (holds at any
+  realistic per-user event count; a pathological user would be salted by
+  (user_id, day)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+def sessionize(events: rd.Dataset, gap_sec: int = SESSION_GAP_SEC) -> rd.Dataset:
+    """Per-user sessions: maximal event runs with inter-event gap ≤ gap_sec.
+    Returns (user_id, session_idx, session_start, session_end, n_events,
+    total_value); session_idx is 0-based in time order per user."""
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    def sessions_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) > gap_sec * 1_000_000
+        sess = np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
+        out = (
+            g.assign(session_idx=sess)
+            .groupby("session_idx", as_index=False)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "size"),
+                total_value=("value", "sum"),
+            )
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["total_value"] = out["total_value"].round(6)
+        return out[
+            ["user_id", "session_idx", "session_start", "session_end",
+             "n_events", "total_value"]
+        ]
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "value"])
+        .repartition(shuffle_blocks())
+        .groupby("user_id")
+        .map_groups(sessions_of_user, batch_format="pandas")
+    )

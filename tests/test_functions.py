@@ -250,3 +250,79 @@ def test_verify_jaccard_join_path_matches_broadcast(sf_small, monkeypatch):
     joined = dd.near_dup_pairs(_docs_ds(sf_small), threshold=0.7).to_pandas()
     assert fast.equals(joined)
     assert len(fast) > 0
+
+
+def test_sessionize_hand_case():
+    from datetime import datetime, timedelta
+
+    from ppagerank_ray.functions.windows import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events in one session, then a 31-min gap -> new session
+        (0, base, 1, 1.0),
+        (1, base + timedelta(minutes=10), 1, 2.0),
+        (2, base + timedelta(minutes=20), 1, 3.0),
+        (3, base + timedelta(minutes=51), 1, 4.0),
+        # user 2: exactly 30-min gap -> SAME session (strict > timeout)
+        (4, base, 2, 1.0),
+        (5, base + timedelta(minutes=30), 2, 1.0),
+    ]
+    t = pa.Table.from_pydict(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+        }
+    )
+    out = (
+        sessionize(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["session_idx"]) == [0, 1, 0]
+    assert list(out["n_events"]) == [3, 1, 2]
+    assert list(out["total_value"]) == [6.0, 4.0, 2.0]
+
+
+def test_ann_ivf_recall(sf_small):
+    """On the UNSTRUCTURED random fixture, IVF recall tracks the probe
+    fraction (n_probe/n_lists); the clustered-data test below shows the
+    regime IVF is actually for."""
+    from ppagerank_ray.functions.similarity import ann_ivf
+
+    emb = _emb_ds(sf_small)
+    exact = knn_bruteforce(emb, [0, 1, 2, 3, 4], k=10).to_pandas()
+    approx = ann_ivf(emb, [0, 1, 2, 3, 4], k=10).to_pandas()
+    hits = 0
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a) / len(e)
+    assert hits / 5 >= 0.5  # probing 6/16 of the lists
+
+
+def test_ann_ivf_recall_on_clustered_data():
+    """Planted clusters: queries and their true neighbors share a cluster,
+    so probed lists capture them — recall must be high."""
+    from ppagerank_ray.functions.similarity import ann_ivf
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)) * 4
+    M = np.vstack([c + rng.standard_normal((50, 32)) for c in centers])
+    ids = np.arange(len(M), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"vec_id": ids, "embedding": list(M)})
+    )
+    qids = [0, 50, 100, 150, 200]
+    exact = knn_bruteforce(ds, qids, k=10).to_pandas()
+    approx = ann_ivf(ds, qids, k=10).to_pandas()
+    hits = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a) / len(e)
+    assert hits / len(qids) >= 0.9
