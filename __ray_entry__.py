@@ -358,6 +358,12 @@ def _q_near_dup_jaccard(sf_dir: str):
     return near_dup_pairs(_docs(sf_dir), threshold=JACCARD_T)
 
 
+def _q_near_dup_dedup(sf_dir: str):
+    from ppagerank_ray.functions.dedup import near_dup_dedup
+
+    return near_dup_dedup(_docs(sf_dir), threshold=JACCARD_T)
+
+
 def _q_minhash_candidates(sf_dir: str):
     from ppagerank_ray.functions.dedup import lsh_candidate_pairs
 
@@ -485,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
         "near_dup_jaccard": _q_near_dup_jaccard,
+        "near_dup_dedup": _q_near_dup_dedup,
         "minhash_candidates": _q_minhash_candidates,
         "simhash": _q_simhash,
         # embeddings: similarity search
@@ -607,6 +614,42 @@ def _lp_sql(iters: int) -> str:
 )"""
         )
     return "WITH " + "".join(parts) + f"\nSELECT id, lab AS label FROM lp{iters}"
+
+
+def _near_dup_pairs_sql() -> str:
+    return f"""WITH {_SHINGLE_CTES},
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh s1 JOIN sh s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY s1.doc_id, s2.doc_id
+)
+SELECT a AS id_a, b AS id_b
+FROM common JOIN shcnt ca ON a = ca.doc_id JOIN shcnt cb ON b = cb.doc_id
+WHERE inter / (ca.c + cb.c - inter)::DOUBLE >= {JACCARD_T}"""
+
+
+def _near_dup_dedup_sql(iters: int = 10) -> str:
+    """Keep-min-per-component over the ≥τ near-dup pair graph: min-label
+    propagation unrolled (component diameters on the fixture are ≪ 10);
+    survivors are docs whose final label equals their own id."""
+    parts = [
+        f"""WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({_near_dup_pairs_sql()})),
+und AS (SELECT id_a AS s, id_b AS d FROM p
+        UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", l{t} AS MATERIALIZED (
+  SELECT v.id, least(c.lab, coalesce(m.ml, c.lab)) AS lab
+  FROM l0 v JOIN l{t-1} c ON v.id = c.id
+  LEFT JOIN (
+    SELECT u.d AS id, min(c2.lab) AS ml
+    FROM und u JOIN l{t-1} c2 ON u.s = c2.id GROUP BY u.d
+  ) m ON v.id = m.id
+)"""
+        )
+    return "".join(parts) + f"\nSELECT id AS keep_id FROM l{iters} WHERE lab = id"
 
 
 def _minhash_candidates_sql() -> str:
@@ -830,6 +873,7 @@ SELECT a AS id_a, b AS id_b,
 FROM common JOIN shcnt ca ON a = ca.doc_id JOIN shcnt cb ON b = cb.doc_id
 WHERE inter / (ca.c + cb.c - inter)::DOUBLE >= {JACCARD_T}""",
         "minhash_candidates": _minhash_candidates_sql(),
+        "near_dup_dedup": _near_dup_dedup_sql(),
         "embedding_knn": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),

@@ -524,3 +524,48 @@ def simhashes(docs: rd.Dataset) -> rd.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow", batch_size=4096
     )
+
+
+def near_dup_dedup(docs: rd.Dataset, threshold: float = 0.7) -> pa.Table:
+    """Documents SURVIVING near-duplicate removal: within each connected
+    component of the ≥τ verified near-dup pair graph, keep the minimum
+    doc_id ("first wins", the same rule as exact_dedup). Returns a sorted
+    (keep_id) table.
+
+    The verified pair set is ANSWER-sized (near-dup fraction ≪ 1), so the
+    component labels come from a driver-side union-find over the pairs —
+    O(pairs·α) — and only ids are touched. A corpus whose pair graph
+    itself outgrew one machine would feed the pairs into the vertex
+    engine's connected_components instead (same keep rule)."""
+    pairs = verify_jaccard(docs, lsh_candidate_pairs(docs), threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = np.array(
+        sorted(x for x in parent if find(x) != x), dtype=np.int64
+    )
+    drop_ref = ray.put(drop)
+
+    def keep_ids(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t["doc_id"].to_numpy()
+        return pa.Table.from_pydict(
+            {"keep_id": ids[~np.isin(ids, d)].astype(np.int64)}
+        )
+
+    parts = ray.get(
+        docs.select_columns(["doc_id"])
+        .map_batches(keep_ids, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    out = pa.concat_tables([t for t in parts if t.num_rows])
+    return out.sort_by("keep_id")

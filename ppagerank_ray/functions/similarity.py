@@ -109,14 +109,12 @@ def _final_topk(partials: rd.Dataset, k: int) -> pd.DataFrame:
 def _query_matrix(emb: rd.Dataset, query_ids: list[int]):
     """(ids, float64 matrix) for the |Q| query rows — the broadcast-small
     side by definition."""
-    want = set(int(q) for q in query_ids)
+    want = np.unique(np.asarray(query_ids, dtype=np.int64))
     want_ref = ray.put(want)
 
     def pick(t: pa.Table) -> pa.Table:
         w = ray.get(want_ref)
-        ids = t["vec_id"].to_numpy()
-        keep = np.array([int(i) in w for i in ids], dtype=bool)
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(np.isin(t["vec_id"].to_numpy(), w)))
 
     qt = emb.map_batches(pick, batch_format="pyarrow").to_pandas()
     qt = qt.sort_values("vec_id")

@@ -326,3 +326,23 @@ def test_ann_ivf_recall_on_clustered_data():
         a = set(approx[approx["query_id"] == q]["neighbor_id"])
         hits += len(e & a) / len(e)
     assert hits / len(qids) >= 0.9
+
+
+def test_near_dup_dedup_keeps_min_per_component(sf_small):
+    from ppagerank_ray.functions.dedup import near_dup_dedup
+
+    texts = _texts(sf_small)
+    sh = {i: set(shingle_hashes(t).tolist()) for i, t in texts.items()}
+    # brute-force pairs + components
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(sh)
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.7:
+            g.add_edge(a, b)
+    expected = sorted(min(c) for c in nx.connected_components(g))
+    got = near_dup_dedup(_docs_ds(sf_small), threshold=0.7)
+    assert got["keep_id"].to_pylist() == expected
+    assert len(expected) < len(sh)  # something was actually removed
