@@ -50,3 +50,14 @@ class EngineConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # 0 -> no checkpoints
     metrics: dict = field(default_factory=dict)
+
+
+def safe_concurrency(want: int) -> int:
+    """Clamp an actor-pool size below the session CPU count: a pool as
+    large as the CPU budget starves co-resident Ray Data shuffle tasks
+    (measured deadlock — see DESIGN.md). Single source for every
+    map_batches actor-pool stage."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(1, min(want, cpus - 1))

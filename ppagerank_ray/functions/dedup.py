@@ -179,6 +179,45 @@ def minhash_bands_batch(t: pa.Table) -> pa.Table:
     return hasher(t)
 
 
+def pairs_in_bucket_runs(
+    k1: np.ndarray, k2: np.ndarray, ids: np.ndarray
+) -> pa.Table:
+    """All unordered (id_a < id_b) pairs within each (k1, k2) bucket of a
+    group, via ONE lexsort + run-length scan — shared by the MinHash-LSH
+    text path (band, band_hash) and the hyperplane-LSH embedding path
+    (table, bucket). Exact at any bucket size up to the MAX_BUCKET_PAIRS
+    valve, beyond which a star to the bucket min preserves duplicate-
+    cluster connectivity at O(s) (logged, never silent)."""
+    order = np.lexsort((ids, k2, k1))
+    k1, k2, d = k1[order], k2[order], ids[order]
+    run_break = (np.diff(k1) != 0) | (np.diff(k2) != 0)
+    starts = np.concatenate([[0], np.flatnonzero(run_break) + 1, [len(k1)]])
+    lens = np.diff(starts)
+    out_a, out_b = [], []
+    for ri in np.flatnonzero(lens >= 2):
+        a0, a1 = int(starts[ri]), int(starts[ri + 1])
+        bucket_ids = d[a0:a1]
+        s = len(bucket_ids)
+        if s * (s - 1) // 2 > MAX_BUCKET_PAIRS:
+            print(
+                f"lsh bucket of {s} ids exceeds MAX_BUCKET_PAIRS; "
+                "emitting star pairs to the bucket min"
+            )
+            out_a.append(np.full(s - 1, bucket_ids.min(), dtype=bucket_ids.dtype))
+            out_b.append(bucket_ids[bucket_ids != bucket_ids.min()][: s - 1])
+            continue
+        ii, jj = np.triu_indices(s, k=1)
+        out_a.append(bucket_ids[ii])
+        out_b.append(bucket_ids[jj])
+    if not out_a:
+        return pa.Table.from_pydict(
+            {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
+        )
+    return pa.Table.from_pydict(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    )
+
+
 def lsh_candidate_pairs(
     docs: rd.Dataset, concurrency: int = 2, use_actors: bool = False
 ) -> rd.Dataset:
@@ -195,8 +234,9 @@ def lsh_candidate_pairs(
     if use_actors:
         # actor-pool variant: permutations in __init__ (the SURVEY §7.2
         # pattern); pays ~1s/actor startup per invocation
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, min(concurrency, cpus - 1))  # don't starve shuffle
+        from ppagerank_ray.config import safe_concurrency
+
+        concurrency = safe_concurrency(concurrency)
         bands = docs.select_columns(["doc_id", "text"]).map_batches(
             MinHasher, batch_format="pyarrow", batch_size=4096, concurrency=concurrency
         )
@@ -208,39 +248,10 @@ def lsh_candidate_pairs(
         )
 
     def pairs(group) -> pa.Table:
-        b = np.asarray(group["band"])
-        h = np.asarray(group["band_hash"])
-        d = np.asarray(group["doc_id"])
-        order = np.lexsort((d, h, b))
-        b, h, d = b[order], h[order], d[order]
-        run_break = (np.diff(b) != 0) | (np.diff(h) != 0)
-        starts = np.concatenate([[0], np.flatnonzero(run_break) + 1, [len(b)]])
-        lens = np.diff(starts)
-        out_a, out_b = [], []
-        for ri in np.flatnonzero(lens >= 2):
-            a0, a1 = int(starts[ri]), int(starts[ri + 1])
-            ids = d[a0:a1]
-            s = len(ids)
-            if s * (s - 1) // 2 > MAX_BUCKET_PAIRS:
-                # pathological bucket (mass duplication): star to the min id
-                # preserves duplicate-cluster connectivity at O(s); logged,
-                # never silent (ADVICE round 1)
-                print(
-                    f"lsh bucket of {s} ids exceeds MAX_BUCKET_PAIRS; "
-                    "emitting star pairs to the bucket min"
-                )
-                out_a.append(np.full(s - 1, ids.min(), dtype=ids.dtype))
-                out_b.append(ids[ids != ids.min()][: s - 1])
-                continue
-            ii, jj = np.triu_indices(s, k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pa.Table.from_pydict(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
-            )
-        return pa.Table.from_pydict(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        return pairs_in_bucket_runs(
+            np.asarray(group["band"]),
+            np.asarray(group["band_hash"]),
+            np.asarray(group["doc_id"]),
         )
 
     from ppagerank_ray.graph.build import shuffle_blocks
@@ -279,8 +290,12 @@ def _shingle_rows(t: pa.Table) -> pa.Table:
     texts = t["text"].to_pylist()
     vals, offs = batch_shingle_sets(texts)
     data_buf = pa.py_buffer(vals.astype(np.int64).tobytes())
-    off_buf = pa.py_buffer((offs * 8).astype(np.int32).tobytes())
-    sh = pa.Array.from_buffers(pa.binary(), len(texts), [None, off_buf, data_buf])
+    # large_binary (int64 offsets): a batch of big documents can exceed
+    # 2^31 payload bytes, which int32 offsets would silently wrap
+    off_buf = pa.py_buffer((offs * 8).astype(np.int64).tobytes())
+    sh = pa.Array.from_buffers(
+        pa.large_binary(), len(texts), [None, off_buf, data_buf]
+    )
     return pa.Table.from_pydict({"doc_id": t["doc_id"], "sh": sh})
 
 

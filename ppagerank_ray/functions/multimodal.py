@@ -93,8 +93,9 @@ def media_features(
 ) -> rd.Dataset:
     import ray
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    concurrency = max(1, min(concurrency, cpus - 1))
+    from ppagerank_ray.config import safe_concurrency
+
+    concurrency = safe_concurrency(concurrency)
     return media.map_batches(
         MediaFeatureExtractor,
         fn_constructor_args=(decode,),

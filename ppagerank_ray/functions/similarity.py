@@ -161,9 +161,15 @@ def _unpack_block(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 @ray.remote
-def _block_pair_dups(ta: pa.Table, tb: pa.Table, threshold: float) -> pa.Table:
-    """≥τ pairs between two packed blocks (id_a < id_b keeps each unordered
-    pair exactly once across the unordered block-pair schedule)."""
+def _block_pair_dups(
+    ta: pa.Table, tb: pa.Table, threshold: float, same: bool
+) -> pa.Table:
+    """≥τ pairs between two packed blocks. Within ONE block (same=True)
+    each unordered pair appears twice in the symmetric matrix, so the
+    id_a < id_b filter dedups; across two DIFFERENT blocks each pair
+    appears exactly once, so it must be emitted unconditionally as
+    (min, max) — filtering by `<` there silently dropped pairs whenever
+    block membership disagreed with vec_id order."""
     empty = pa.Table.from_pydict(
         {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
          "cos": np.empty(0, np.float64)}
@@ -174,13 +180,18 @@ def _block_pair_dups(ta: pa.Table, tb: pa.Table, threshold: float) -> pa.Table:
     ids_b, B = _unpack_block(tb)
     S = A @ B.T
     ii, jj = np.nonzero(S >= threshold)
-    keep = ids_a[ii] < ids_b[jj]
+    ia, ib = ids_a[ii], ids_b[jj]
+    if same:
+        keep = ia < ib
+        ia, ib, cos = ia[keep], ib[keep], S[ii, jj][keep]
+    else:
+        keep = ia != ib  # distinct ids can recur across blocks' inputs
+        ia, ib, cos = ia[keep], ib[keep], S[ii, jj][keep]
+        lo = np.minimum(ia, ib)
+        ib = np.maximum(ia, ib)
+        ia = lo
     return pa.Table.from_pydict(
-        {
-            "id_a": ids_a[ii][keep],
-            "id_b": ids_b[jj][keep],
-            "cos": np.round(S[ii, jj][keep], 6),
-        }
+        {"id_a": ia, "id_b": ib, "cos": np.round(cos, 6)}
     )
 
 
@@ -206,7 +217,7 @@ def near_dup_embeddings(
     )
     refs = packed.to_arrow_refs()  # block METADATA only on the driver
     outs = [
-        _block_pair_dups.remote(refs[i], refs[j], threshold)
+        _block_pair_dups.remote(refs[i], refs[j], threshold, i == j)
         for i in range(len(refs))
         for j in range(i, len(refs))
     ]
@@ -253,26 +264,13 @@ def _near_dup_lsh(emb: rd.Dataset, threshold: float) -> pa.Table:
     )
 
     def pairs(group) -> pa.Table:
-        tb = np.asarray(group["table"])
-        bk = np.asarray(group["bucket"])
-        vid = np.asarray(group["vec_id"])
-        order = np.lexsort((vid, bk, tb))
-        tb, bk, vid = tb[order], bk[order], vid[order]
-        run_break = (np.diff(tb) != 0) | (np.diff(bk) != 0)
-        starts = np.concatenate([[0], np.flatnonzero(run_break) + 1, [len(tb)]])
-        lens = np.diff(starts)
-        out_a, out_b = [], []
-        for ri in np.flatnonzero(lens >= 2):
-            ids = vid[int(starts[ri]) : int(starts[ri + 1])]
-            ii, jj = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ii])
-            out_b.append(ids[jj])
-        if not out_a:
-            return pa.Table.from_pydict(
-                {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)}
-            )
-        return pa.Table.from_pydict(
-            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        # shared run-length pair generator incl. the MAX_BUCKET_PAIRS valve
+        from ppagerank_ray.functions.dedup import pairs_in_bucket_runs
+
+        return pairs_in_bucket_runs(
+            np.asarray(group["table"]),
+            np.asarray(group["bucket"]),
+            np.asarray(group["vec_id"]),
         )
 
     grouped = buckets.map_batches(
@@ -329,8 +327,9 @@ def _near_dup_lsh(emb: rd.Dataset, threshold: float) -> pa.Table:
 
 
 def _safe_concurrency(want: int) -> int:
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(1, min(want, cpus - 1))  # never starve downstream shuffles
+    from ppagerank_ray.config import safe_concurrency
+
+    return safe_concurrency(want)
 
 
 class HyperplaneLSH:
@@ -409,17 +408,26 @@ def ann_lsh(
         vid = t["vec_id"].to_numpy()
         key = tb * (1 << 32) + bk
         qkeys = np.array(sorted(ti * (1 << 32) + b for ti, b in m), dtype=np.int64)
-        hit = np.isin(key, qkeys)
+        hit = np.flatnonzero(np.isin(key, qkeys))
+        empty = pa.Table.from_pydict(
+            {"query_id": np.empty(0, np.int64), "vec_id": np.empty(0, np.int64)}
+        )
+        if len(hit) == 0:
+            return empty
+        # one sort + run-length pass over the hits (no per-key batch rescans)
+        order = hit[np.argsort(key[hit], kind="stable")]
+        ks, vs = key[order], vid[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(ks)) + 1, [len(ks)]]
+        )
         out_q, out_v = [], []
-        for kk in np.unique(key[hit]):
-            vids = vid[key == kk]
-            for q in m[(int(kk) >> 32, int(kk) & 0xFFFFFFFF)]:
+        for si in range(len(starts) - 1):
+            a0, a1 = int(starts[si]), int(starts[si + 1])
+            kk = int(ks[a0])
+            vids = vs[a0:a1]
+            for q in m[(kk >> 32, kk & 0xFFFFFFFF)]:
                 out_q.append(np.full(len(vids), q, dtype=np.int64))
                 out_v.append(vids)
-        if not out_q:
-            return pa.Table.from_pydict(
-                {"query_id": np.empty(0, np.int64), "vec_id": np.empty(0, np.int64)}
-            )
         qq = np.concatenate(out_q)
         vv = np.concatenate(out_v)
         keep = qq != vv  # self excluded
@@ -508,19 +516,29 @@ def ann_ivf(
     probed candidates re-rank with the same distributed partial/final
     top-k combiner as knn_bruteforce. Same output schema as knn_bruteforce;
     approximate by design → recall-tested in pytest, not SQL-oracled."""
-    # deterministic sample: every (N/sample_cap)-th row by position
+    # deterministic ~sample_cap-row sample, uniform over ARBITRARY id
+    # distributions: hash each vec_id (odd multiplier mixes all bits) and
+    # keep ids whose hash falls below the stride threshold — no dense-id
+    # assumption. Falls back to the first rows if the hash filter lands
+    # empty (pathological tiny inputs).
     n_total = emb.count()
     stride = max(1, n_total // sample_cap)
 
     def pick_sample(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy()
-        return t.filter(pa.array(ids % stride == 0))
+        h = t["vec_id"].to_numpy().astype(np.uint64) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        return t.filter(pa.array(h % np.uint64(stride) == 0))
 
     st = (
         emb.select_columns(["vec_id", "embedding"])
         .map_batches(pick_sample, batch_format="pyarrow")
         .take_all()
     )
+    if not st:
+        st = emb.select_columns(["vec_id", "embedding"]).take(
+            min(sample_cap, n_total)
+        )
     S = np.array([r["embedding"] for r in st[:sample_cap]], dtype=np.float64)
     C = _spherical_kmeans(S, n_lists, kmeans_iters)
     c_ref = ray.put(C)

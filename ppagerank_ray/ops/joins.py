@@ -105,14 +105,23 @@ def hash_join(
     rt = rt.map_batches(canon([c for c in lcols if c not in rcols]), batch_format="pyarrow")
 
     # each side's rows carry NULLs in the OTHER side's columns, which makes
-    # pandas upcast sliced int columns to float64; cast back so (a) join
-    # keys compare as ints and (b) the output schema matches the inputs —
-    # without this a chained hash_join re-buckets float keys and loses rows
-    int_cols = {c for c in types if pa.types.is_integer(types[c])}
+    # pandas upcast sliced int columns to float64; cast back to each
+    # column's ORIGINAL integer dtype so (a) join keys compare as ints and
+    # (b) the output schema matches the inputs — without this a chained
+    # hash_join re-buckets float keys and loses rows. (Int values must
+    # survive a float64 round-trip, i.e. |v| ≤ 2^53 — use string keys for
+    # raw 64-bit hashes.)
+    int_cols = {
+        c: types[c].to_pandas_dtype() for c in types if pa.types.is_integer(types[c])
+    }
 
     def _restore(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
         df = df[cols]
-        casts = {c: np.int64 for c in cols if c in int_cols and df[c].dtype != np.int64}
+        casts = {
+            c: int_cols[c]
+            for c in cols
+            if c in int_cols and df[c].dtype != int_cols[c]
+        }
         return df.astype(casts) if casts else df
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:

@@ -67,7 +67,11 @@ def read_properties(basename: str) -> dict:
             key = key.strip()
             if key in props:
                 props[key] = int(val.strip())
-    if props["nodes"] <= 0 or props["minintervallength"] <= 1:
+    # minintervallength == 0 is the format's no-intervals mode (the decoder
+    # skips the interval γ entirely); 1 is invalid (cf. the reference's own
+    # <=1 check at bvgraph_matrix.cc:64 — stricter than needed, since its
+    # decoder also handles the !=0 branch)
+    if props["nodes"] <= 0 or props["minintervallength"] == 1:
         raise ValueError(f"invalid BVGraph properties for {basename}: {props}")
     return props
 

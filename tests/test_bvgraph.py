@@ -118,7 +118,7 @@ def _random_successors(rng, n, density=0.1, run_bias=True):
 
 
 @pytest.mark.parametrize(
-    "window,minint,zk", [(7, 3, 3), (0, 2, 2), (3, 4, 1), (7, 2, 4)]
+    "window,minint,zk", [(7, 3, 3), (0, 2, 2), (3, 4, 1), (7, 2, 4), (7, 0, 3)]
 )
 def test_encode_decode_roundtrip(tmp_path, window, minint, zk):
     rng = np.random.default_rng(100 * window + 10 * minint + zk)

@@ -346,3 +346,47 @@ def test_near_dup_dedup_keeps_min_per_component(sf_small):
     got = near_dup_dedup(_docs_ds(sf_small), threshold=0.7)
     assert got["keep_id"].to_pylist() == expected
     assert len(expected) < len(sh)  # something was actually removed
+
+
+def test_near_dup_embeddings_exact_with_unsorted_ids():
+    """Regression: cross-block pairs were dropped when block membership
+    disagreed with vec_id order (id_a < id_b filtering applied to
+    unordered cross-block tasks). Descending ids across many blocks must
+    still yield the full exact pair set."""
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((200, 16))
+    M[50] = M[150] + 0.01 * rng.standard_normal(16)  # a planted cross pair
+    ids = np.arange(200, dtype=np.int64)[::-1].copy()  # descending
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"vec_id": ids, "embedding": list(M)})
+    )
+    from ppagerank_ray.functions.similarity import near_dup_embeddings
+
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    exp = sorted(
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.5
+    )
+    got = near_dup_embeddings(ds, threshold=0.5).to_pandas()
+    assert sorted(zip(got["id_a"].astype(int), got["id_b"].astype(int))) == exp
+    assert len(exp) > 0
+
+
+def test_ann_ivf_sparse_ids():
+    """Regression: the quantizer sample filtered by id VALUE modulo,
+    which could be empty for non-dense id spaces (e.g. all-odd ids after
+    a dedup pass)."""
+    from ppagerank_ray.functions.similarity import ann_ivf
+
+    rng = np.random.default_rng(13)
+    M = rng.standard_normal((300, 8))
+    ids = (np.arange(300, dtype=np.int64) * 2) + 1  # all odd
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"vec_id": ids, "embedding": list(M)})
+    )
+    out = ann_ivf(ds, [1, 3, 5], k=5, sample_cap=64).to_pandas()
+    assert set(out["query_id"]) == {1, 3, 5}
+    assert (out.groupby("query_id").size() == 5).all()
