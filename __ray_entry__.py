@@ -422,6 +422,58 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_media_frames(sf_dir: str):
+    """Frame sampling over the fake media containers; frames reported as
+    md5 so the (binary) payload is SQL-comparable."""
+    import hashlib
+
+    from ppagerank_ray.functions.multimodal import (
+        frame_sample,
+        synth_media_from_documents,
+    )
+
+    frames = frame_sample(synth_media_from_documents(_docs(sf_dir)))
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(b).hexdigest() for b in t["frame"].to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "media_id": t["media_id"],
+                "frame_idx": t["frame_idx"],
+                "frame_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pyarrow")
+
+
+def _q_media_resized(sf_dir: str):
+    from ppagerank_ray.functions.multimodal import (
+        resize_media,
+        synth_media_from_documents,
+    )
+
+    resized = resize_media(synth_media_from_documents(_docs(sf_dir)))
+
+    def meta(t: pa.Table) -> pa.Table:
+        firsts, lasts = [], []
+        for b in t["payload"].to_pylist():
+            firsts.append(b[0] if len(b) else -1)
+            lasts.append(b[-1] if len(b) else -1)
+        return pa.Table.from_pydict(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "orig_bytes": t["orig_bytes"],
+                "out_bytes": t["out_bytes"],
+                "first_byte": pa.array(firsts, pa.int64()),
+                "last_byte": pa.array(lasts, pa.int64()),
+            }
+        )
+
+    return resized.map_batches(meta, batch_format="pyarrow")
+
+
 def _q_events_windowed(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -501,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         # multimodal + events
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "media_resized": _q_media_resized,
         "events_windowed": _q_events_windowed,
         "user_sessions": _q_user_sessions,
     }
@@ -861,6 +915,31 @@ SELECT doc_id AS media_id,
        octet_length(encode(text))::BIGINT AS n_bytes,
        (coalesce(list_sum(list_transform(string_split(text, ''), x -> unicode(x))), 0)
         % 2147483648)::BIGINT AS checksum
+FROM documents""",
+        # frame sampling: payload = utf-8 text bytes sliced into 64-byte
+        # frames; up to 4 evenly spaced (k·total // take), ASCII fixture
+        "media_frames": """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         (octet_length(encode(text)) // 64)::BIGINT AS total
+  FROM documents
+),
+f AS (SELECT media_id, text, total, least(4, total)::BIGINT AS take
+      FROM m WHERE total > 0)
+SELECT media_id,
+       (k.k * total // take)::BIGINT AS frame_idx,
+       md5(substr(text, ((k.k * total // take) * 64 + 1)::INT, 64)) AS frame_md5
+FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+WHERE k.k < take""",
+        # byte-domain resize: linspace endpoints are exact, so first/last
+        # bytes survive; sizes clamp at the 256-byte target
+        "media_resized": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+       octet_length(encode(text))::BIGINT AS orig_bytes,
+       least(octet_length(encode(text)), 256)::BIGINT AS out_bytes,
+       CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END::BIGINT AS first_byte,
+       CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END::BIGINT AS last_byte
 FROM documents""",
         "near_dup_jaccard": f"""WITH {_SHINGLE_CTES},
 common AS (

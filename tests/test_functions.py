@@ -390,3 +390,30 @@ def test_ann_ivf_sparse_ids():
     out = ann_ivf(ds, [1, 3, 5], k=5, sample_cap=64).to_pandas()
     assert set(out["query_id"]) == {1, 3, 5}
     assert (out.groupby("query_id").size() == 5).all()
+
+
+def test_media_frame_sample_and_resize_plumbing(sf_small):
+    from ppagerank_ray.functions.multimodal import (
+        FrameSampler,
+        Resizer,
+        frame_sample,
+        resize_media,
+        synth_media_from_documents,
+    )
+
+    media = synth_media_from_documents(_docs_ds(sf_small))
+    frames = frame_sample(media, n_frames=4, frame_bytes=64).to_pandas()
+    assert set(frames.columns) == {"media_id", "frame_idx", "frame"}
+    assert (frames.groupby("media_id").size() <= 4).all()
+    assert all(len(f) == 64 for f in frames["frame"])
+    resized = resize_media(media, target_bytes=256).to_pandas()
+    assert (resized["out_bytes"] <= 256).all()
+    assert (resized["out_bytes"] == resized["orig_bytes"].clip(upper=256)).all()
+    # decode paths are explicit stubs
+    t = pa.Table.from_pydict(
+        {"media_id": [1], "media_type": ["x"], "payload": [b"y" * 100]}
+    )
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decode=True)(t)
+    with pytest.raises(NotImplementedError):
+        Resizer(decode=True)(t)
