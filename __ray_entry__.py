@@ -260,6 +260,29 @@ def _q_pagerank_arnoldi(sf_dir: str):
     )
 
 
+HITS_ITERS = 12
+
+
+def _q_hits(sf_dir: str):
+    """HITS hubs/authorities, fixed iterations (SQL-unrollable)."""
+    from ppagerank_ray.algos.hits import build_hits_engines, hits
+
+    gt = _graph(sf_dir)
+    fwd, rev = build_hits_engines(gt.edges, gt.n_vertices, num_partitions=4)
+    hits(fwd, rev, tol=0.0, maxiter=HITS_ITERS)
+    a = fwd.to_array("a")
+    h = rev.to_array("h")
+    fwd.shutdown()
+    rev.shutdown()
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "authority": _round6(a),
+            "hub": _round6(h),
+        }
+    )
+
+
 def _q_components(sf_dir: str):
     from ppagerank_ray.algos.components import connected_components
 
@@ -527,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_pvec": _q_pagerank_pvec,
+        "hits": _q_hits,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "label_propagation": _q_label_propagation,
@@ -631,6 +655,38 @@ def _pagerank_sql(iters: int, pvec: bool, alpha: float = ALPHA) -> str:
 )"""
         )
     return "WITH " + "".join(parts) + f"\nSELECT id, round(x, 6) AS score FROM pr{iters}"
+
+
+def _hits_sql(iters: int) -> str:
+    """Fixed-iteration HITS unroll: a_t = normalize2(Aᵀ h_{t-1}),
+    h_t = normalize2(A a_t), h_0 = 1/sqrt(V)."""
+    parts = [
+        _GRAPH_CTES,
+        ", h0 AS MATERIALIZED (SELECT id, 1.0/sqrt((SELECT v FROM nv)) AS h FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", ar{t} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0) AS x FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(h.h) AS x FROM edges e
+    JOIN h{t-1} h ON e.src = h.id GROUP BY e.dst) s ON v.id = s.id
+), a{t} AS MATERIALIZED (
+  SELECT id, x / nullif(sqrt((SELECT sum(x*x) FROM ar{t})), 0) AS a FROM ar{t}
+), hr{t} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.x, 0) AS x FROM verts v LEFT JOIN (
+    SELECT e.src AS id, sum(a.a) AS x FROM edges e
+    JOIN a{t} a ON e.dst = a.id GROUP BY e.src) s ON v.id = s.id
+), h{t} AS MATERIALIZED (
+  SELECT id, x / nullif(sqrt((SELECT sum(x*x) FROM hr{t})), 0) AS h FROM hr{t}
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT a.id, round(a.a, 6) AS authority, round(h.h, 6) AS hub
+FROM a{iters} a JOIN h{iters} h ON a.id = h.id"""
+    )
 
 
 def _cc_sql(iters: int) -> str:
@@ -831,6 +887,7 @@ SELECT (SELECT v FROM nv) AS n_vertices,
 FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
         "pagerank_pvec": _pagerank_sql(PR_PVEC_ITERS, pvec=True),
+        "hits": _hits_sql(HITS_ITERS),
         "connected_components": _cc_sql(CC_ITERS),
         "component_sizes": _cc_sql(CC_ITERS).replace(
             f"SELECT id, lab AS component FROM cc{CC_ITERS}",

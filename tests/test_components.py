@@ -122,3 +122,34 @@ def test_triangles_large_graph_paths(sf_tiny, monkeypatch):
     monkeypatch.setattr(tri, "BROADCAST_MAX_EDGE_KEYS", 1)
     assert tri.triangle_count(gt.edges, gt.n_vertices) == expected
     assert expected > 0
+
+
+def test_hits_matches_numpy_oracle(sf_tiny):
+    from ppagerank_ray.algos.hits import build_hits_engines, hits, numpy_hits_oracle
+
+    gt = build_graph(synth_pages(sf_tiny))
+    t = gt.edges.to_pandas()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    for iters in (1, 7):
+        fwd, rev = build_hits_engines(gt.edges, gt.n_vertices, num_partitions=3)
+        hits(fwd, rev, tol=0.0, maxiter=iters)
+        a, h = fwd.to_array("a"), rev.to_array("h")
+        fwd.shutdown(); rev.shutdown()
+        a_ref, h_ref = numpy_hits_oracle(src, dst, gt.n_vertices, iters)
+        np.testing.assert_allclose(a, a_ref, atol=1e-12)
+        np.testing.assert_allclose(h, h_ref, atol=1e-12)
+
+
+def test_hits_converges():
+    from ppagerank_ray.algos.hits import build_hits_engines, hits
+
+    # star: 0 -> {1..4}; node 0 is the hub, 1..4 are authorities
+    src = np.array([0, 0, 0, 0, 3])
+    dst = np.array([1, 2, 3, 4, 0])
+    fwd, rev = build_hits_engines(_edges_ds(src, dst), 5, num_partitions=2)
+    info = hits(fwd, rev, tol=1e-10)
+    a, h = fwd.to_array("a"), rev.to_array("h")
+    fwd.shutdown(); rev.shutdown()
+    assert info["converged"]
+    assert np.argmax(h) == 0  # the star center is the best hub
+    assert a[0] < max(a[1:])  # leaves out-rank it as authorities
