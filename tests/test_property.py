@@ -108,3 +108,84 @@ def test_triangles_property(g):
     n, edges = g
     ds, src, dst = _edge_ds(n, edges)
     assert triangle_count(ds, n) == numpy_triangle_oracle(src, dst)
+
+
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=60),  # arbitrary unicode incl. multibyte
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_shingle_sets_matches_scalar(texts):
+    from ppagerank_ray.functions.dedup import batch_shingle_sets, shingle_hashes
+
+    vals, offs = batch_shingle_sets(texts)
+    assert len(offs) == len(texts) + 1
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(
+            vals[offs[i] : offs[i + 1]], shingle_hashes(t), err_msg=f"doc {i}"
+        )
+
+
+@given(
+    st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=20)
+)
+@settings(max_examples=40, deadline=None)
+def test_simhash_batch_matches_scalar(texts):
+    from ppagerank_ray.functions.dedup import _simhash_values, simhash64
+
+    got = _simhash_values(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == simhash64(t), f"doc {i}"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=100,
+    ),
+    st.integers(1, 31),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_hash_join_matches_pandas_merge(pairs, nkeys):
+    """hash_join == pandas inner merge on random int tables (dupes, missing
+    keys, skew); dtype preserved."""
+    import pandas as pd
+
+    from ppagerank_ray.ops.joins import hash_join
+
+    left = pa.Table.from_pydict(
+        {
+            "k": np.array([a % nkeys for a, _ in pairs], np.int64),
+            "lv": np.array([b for _, b in pairs], np.int64),
+        }
+    )
+    right = pa.Table.from_pydict(
+        {
+            "rk": np.arange(0, nkeys, 2, dtype=np.int64),
+            "rv": np.arange(0, nkeys, 2, dtype=np.int64) * 10,
+        }
+    )
+    got = hash_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "rk", n_buckets=5
+    ).to_pandas()
+    exp = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="k", right_on="rk", how="inner")
+        .drop(columns=["rk"])
+    )
+    if len(exp) == 0:
+        # empty joins may come back column-less (zero blocks) — callers guard
+        assert len(got) == 0
+        return
+    got = got.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
+    assert got["k"].dtype == np.int64
