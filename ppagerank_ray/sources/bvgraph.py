@@ -410,3 +410,44 @@ def encode_bvgraph(
             f"minintervallength={min_interval_length}\nzetak={zeta_k}\n"
             "compressionflags=\n"
         )
+
+
+def write_bvgraph_from_edges(
+    edges,
+    n_vertices: int,
+    basename: str,
+    **encode_params,
+) -> dict:
+    """Root-WRITER sink: a (src, dst) edge Dataset → `<basename>.graph` +
+    `.properties` — the engine can round-trip the reference's own input
+    format (the reference itself has no writer). Mirrors the root-reader
+    asymmetry: one global (src, dst) sort, then successor lists stream
+    block-by-block through the driver into the sequential encoder (the
+    format's window compression is inherently order-dependent). Dedups and
+    drops self-referencing duplicates implicitly via np.unique per row.
+    Returns {nodes, arcs}."""
+    import ray
+
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    sorted_ds = (
+        edges.select_columns(["src", "dst"])
+        .repartition(shuffle_blocks())
+        .sort(["src", "dst"])
+    )
+    succ: list[np.ndarray] = [np.empty(0, np.int64) for _ in range(n_vertices)]
+    for ref in sorted_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0:
+            continue
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(src)) + 1, [len(src)]])
+        for si in range(len(starts) - 1):
+            a0, a1 = int(starts[si]), int(starts[si + 1])
+            x = int(src[a0])
+            # a src may straddle block boundaries: merge with what's there
+            succ[x] = np.unique(np.concatenate([succ[x], dst[a0:a1]]))
+    encode_bvgraph(succ, basename, **encode_params)
+    props = read_properties(basename)
+    return {"nodes": props["nodes"], "arcs": props["arcs"]}

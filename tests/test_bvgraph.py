@@ -174,3 +174,26 @@ def test_bvgraph_cli_reference_test_script(tmp_path):
     dst = np.concatenate([s_ for s_ in succ]).astype(np.int64)
     x_ref, _ = numpy_power_oracle(src, dst, 80, alpha=0.95, tol=1e-7)
     np.testing.assert_allclose(t["score"], x_ref, atol=1e-6)
+
+
+def test_write_bvgraph_roundtrips_built_graph(tmp_path, sf_tiny):
+    """Graph build → BVGraph writer → loader: the engine round-trips the
+    reference's input format end-to-end (edges byte-for-byte equal)."""
+    from ppagerank_ray.graph.build import build_graph
+    from ppagerank_ray.sources.bvgraph import write_bvgraph_from_edges
+    from ppagerank_ray.sources.bsmat import load_matrix
+    from ppagerank_ray.sources.pages import synth_pages
+
+    gt = build_graph(synth_pages(sf_tiny))
+    base = str(tmp_path / "roundtrip")
+    info = write_bvgraph_from_edges(gt.edges, gt.n_vertices, base)
+    assert info == {"nodes": gt.n_vertices, "arcs": gt.n_edges}
+    ds, m, n, nnz = load_matrix(base, hint="bvgraph")
+    assert (m, n, nnz) == (gt.n_vertices, gt.n_vertices, gt.n_edges)
+    got = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    exp = (
+        gt.edges.to_pandas()[["src", "dst"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert (got[["src", "dst"]].values == exp.values).all()
