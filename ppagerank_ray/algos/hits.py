@@ -70,9 +70,11 @@ def hits(
     _l2_normalize(rev, "h")
     fwd.set_vector_uniform("a", 0.0)
     delta = float("inf")
+    track = tol > 0.0  # fixed-iteration runs skip the dead delta rounds
     it = 0
     for it in range(1, maxiter + 1):
-        ray.get([w.vec_copy.remote("a", "a_prev") for w in fwd.workers])
+        if track:
+            ray.get([w.vec_copy.remote("a", "a_prev") for w in fwd.workers])
         # a = normalize2(Aᵀ h): forward engine consumes the reverse
         # engine's h slices (same vbounds ⇒ refs line up)
         fwd.spmv(rev.slice_refs("h"), out="a")
@@ -80,15 +82,16 @@ def hits(
         # h = normalize2(A a)
         rev.spmv(fwd.slice_refs("a"), out="h")
         _l2_normalize(rev, "h")
-        delta = float(
-            np.sum(
-                ray.get(
-                    [w.vec_diff_norm1.remote("a", "a_prev") for w in fwd.workers]
+        if track:
+            delta = float(
+                np.sum(
+                    ray.get(
+                        [w.vec_diff_norm1.remote("a", "a_prev") for w in fwd.workers]
+                    )
                 )
             )
-        )
-        if delta < tol:
-            break
+            if delta < tol:
+                break
     return {"algorithm": "hits", "iteration": it, "delta_l1": delta,
             "converged": delta < tol}
 

@@ -326,7 +326,7 @@ def _runs_against_ref(succ: np.ndarray, ref_list: np.ndarray):
 
 
 def encode_bvgraph(
-    successors: list[np.ndarray],
+    successors,
     basename: str,
     window_size: int = DEFAULT_WINDOW_SIZE,
     max_ref_count: int = DEFAULT_MAX_REF_COUNT,
@@ -334,38 +334,50 @@ def encode_bvgraph(
     zeta_k: int = DEFAULT_ZETA_K,
 ) -> None:
     """Write `<basename>.graph` + `.properties` for per-node sorted distinct
-    successor arrays."""
+    successor arrays. `successors` is any ITERABLE of per-node arrays (a
+    generator streams: only the last `window_size` lists are retained for
+    reference compression — O(window) memory, matching the format's own
+    locality)."""
+    from collections import deque
+
     w = BitWriter()
-    n = len(successors)
+    n = 0
     arcs_total = 0
-    ref_counts = [0] * n  # copy-chain lengths, capped at max_ref_count
-    for x in range(n):
-        succ = np.asarray(successors[x], dtype=np.int64)
+    # sliding window of the last window_size (list, copy-chain-length) pairs;
+    # window[-rdist] is node x - rdist
+    window: deque[tuple[np.ndarray, int]] = deque(maxlen=max(window_size, 1))
+    for succ in successors:
+        x = n
+        n += 1
+        succ = np.asarray(succ, dtype=np.int64)
         arcs_total += len(succ)
         w.write_gamma(len(succ))
         if len(succ) == 0:
+            window.append((succ, 0))
             continue
         # pick the window reference copying the most successors
         best_ref, best_gain, best = 0, 0, None
         if window_size > 0:
-            for rdist in range(1, min(window_size, x) + 1):
-                cand = x - rdist
-                if ref_counts[cand] >= max_ref_count:
+            for rdist in range(1, min(window_size, x, len(window)) + 1):
+                cand_list, cand_chain = window[-rdist]
+                if cand_chain >= max_ref_count:
                     continue
-                runs, member = _runs_against_ref(succ, successors[cand])
+                runs, member = _runs_against_ref(succ, cand_list)
                 gain = int(member.sum())
                 if gain > best_gain:
                     best_ref, best_gain, best = rdist, gain, (runs, member)
             w.write_unary(best_ref)
         if best_ref > 0:
             runs, member = best
-            ref_counts[x] = ref_counts[x - best_ref] + 1
+            ref_list, ref_chain = window[-best_ref]
+            window.append((succ, ref_chain + 1))
             w.write_gamma(len(runs))
             for i, rl in enumerate(runs):
                 w.write_gamma(rl if i == 0 else rl - 1)
-            copied = set(np.asarray(successors[x - best_ref])[member].tolist())
+            copied = set(ref_list[member].tolist())
             rest = np.array([s for s in succ.tolist() if s not in copied], np.int64)
         else:
+            window.append((succ, 0))
             rest = succ
         extra = len(rest)
         if extra > 0 and min_interval_length != 0:
@@ -421,11 +433,12 @@ def write_bvgraph_from_edges(
     """Root-WRITER sink: a (src, dst) edge Dataset → `<basename>.graph` +
     `.properties` — the engine can round-trip the reference's own input
     format (the reference itself has no writer). Mirrors the root-reader
-    asymmetry: one global (src, dst) sort, then successor lists stream
-    block-by-block through the driver into the sequential encoder (the
-    format's window compression is inherently order-dependent). Dedups and
-    drops self-referencing duplicates implicitly via np.unique per row.
-    Returns {nodes, arcs}."""
+    asymmetry: one global (src, dst) sort, then a GENERATOR walks the
+    sorted blocks in order and yields each node's distinct successor array
+    straight into the streaming window encoder — driver memory is O(block
+    + window), never O(V) or O(E). Duplicate arcs collapse via np.unique;
+    self-loops are kept (they are legal arcs in the format). Returns
+    {nodes, arcs}."""
     import ray
 
     from ppagerank_ray.graph.build import shuffle_blocks
@@ -435,19 +448,43 @@ def write_bvgraph_from_edges(
         .repartition(shuffle_blocks())
         .sort(["src", "dst"])
     )
-    succ: list[np.ndarray] = [np.empty(0, np.int64) for _ in range(n_vertices)]
-    for ref in sorted_ds.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0:
-            continue
-        src = t["src"].to_numpy()
-        dst = t["dst"].to_numpy()
-        starts = np.concatenate([[0], np.flatnonzero(np.diff(src)) + 1, [len(src)]])
-        for si in range(len(starts) - 1):
-            a0, a1 = int(starts[si]), int(starts[si + 1])
-            x = int(src[a0])
-            # a src may straddle block boundaries: merge with what's there
-            succ[x] = np.unique(np.concatenate([succ[x], dst[a0:a1]]))
-    encode_bvgraph(succ, basename, **encode_params)
+    refs = sorted_ds.to_arrow_refs()  # block metadata only
+
+    def successor_stream():
+        next_x = 0  # next node id to yield
+        cur_src = None
+        cur_parts: list[np.ndarray] = []
+        for ref in refs:
+            t = ray.get(ref)
+            if t.num_rows == 0:
+                continue
+            src = t["src"].to_numpy()
+            dst = t["dst"].to_numpy()
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(src)) + 1, [len(src)]]
+            )
+            for si in range(len(starts) - 1):
+                a0, a1 = int(starts[si]), int(starts[si + 1])
+                x = int(src[a0])
+                if cur_src is not None and x != cur_src:
+                    while next_x < cur_src:  # gaps = zero-outdegree nodes
+                        yield np.empty(0, np.int64)
+                        next_x += 1
+                    yield np.unique(np.concatenate(cur_parts))
+                    next_x += 1
+                    cur_parts = []
+                cur_src = x
+                cur_parts.append(dst[a0:a1])  # src can straddle blocks
+        if cur_src is not None:
+            while next_x < cur_src:
+                yield np.empty(0, np.int64)
+                next_x += 1
+            yield np.unique(np.concatenate(cur_parts))
+            next_x += 1
+        while next_x < n_vertices:  # trailing isolated nodes
+            yield np.empty(0, np.int64)
+            next_x += 1
+
+    encode_bvgraph(successor_stream(), basename, **encode_params)
     props = read_properties(basename)
     return {"nodes": props["nodes"], "arcs": props["arcs"]}
