@@ -1,5 +1,9 @@
 """Benchmark harness — one JSON line per run; --scaling runs two CPU levels.
 
+All single-shot phases run best-of-2 (round-2 verdict item 3: co-tenant
+bursts made whole-bench wall time swing ±25% round-to-round; min-of-n per
+phase estimates machine capability like the p20 iteration metric does).
+
 Phases (headline value = total seconds across phases):
   e2e_pipeline  pages → extract → graph build → PageRank to 1e-6 over a
                 replicated corpus (PPR_BENCH_REPLICATE × documents) — the
@@ -72,6 +76,20 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
 
+    def best_of(fn, n: int = 2):
+        """min-of-n phase timing: co-tenant bursts on this box stall
+        identical work 2-10× for minutes at a time (BASELINE.md 'noise');
+        the min estimates machine capability, same spirit as the p20
+        per-iteration metric and the --scaling interleaved best-of."""
+        best_dt, out = None, None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn()
+            dt = time.perf_counter() - t0
+            if best_dt is None or dt < best_dt:
+                best_dt, out = dt, r
+        return best_dt, out
+
     # warm: OS page cache + Ray worker process pool (first Dataset execution
     # forks ~num_cpus python workers; that is session setup, not pipeline)
     rd.read_parquet(f"{sf_dir}/documents.parquet").count()
@@ -83,13 +101,15 @@ def run_bench() -> dict:
     T = max(1, num_cpus // P)
 
     # --- e2e pipeline ---
-    t0 = time.perf_counter()
-    gt = build_graph(synth_pages(sf_dir, replicate=replicate))
-    eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
-    eng.load_directed(gt.edges, presorted=gt.edges_sorted)
-    info = power_iteration(eng, PageRankConfig(alpha=0.85, tol=1e-6))
-    eng.shutdown()
-    queries["e2e_pipeline"] = time.perf_counter() - t0
+    def run_e2e():
+        gt = build_graph(synth_pages(sf_dir, replicate=replicate))
+        eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
+        eng.load_directed(gt.edges, presorted=gt.edges_sorted)
+        info = power_iteration(eng, PageRankConfig(alpha=0.85, tol=1e-6))
+        eng.shutdown()
+        return gt, info
+
+    queries["e2e_pipeline"], (gt, info) = best_of(run_e2e)
     extra["e2e_pages"] = gt.n_vertices
     extra["e2e_edges"] = gt.n_edges
     extra["e2e_pr_iterations"] = info["iteration"]
@@ -121,20 +141,22 @@ def run_bench() -> dict:
     extra["edges_per_sec"] = round(n_edges / p20)
 
     # --- components to fixpoint on the e2e graph ---
-    t0 = time.perf_counter()
-    eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
-    eng.load_undirected(build_undirected(gt.edges))
-    cc = connected_components(eng)
-    eng.shutdown()
-    queries["components"] = time.perf_counter() - t0
+    def run_cc():
+        eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
+        eng.load_undirected(build_undirected(gt.edges))
+        cc = connected_components(eng)
+        eng.shutdown()
+        return cc
+
+    queries["components"], cc = best_of(run_cc)
     extra["components_rounds"] = cc["rounds"]
 
     # --- triangle count on the e2e graph ---
     from ppagerank_ray.algos.triangles import triangle_count
 
-    t0 = time.perf_counter()
-    extra["triangles"] = triangle_count(gt.edges, gt.n_vertices)
-    queries["triangle_count"] = time.perf_counter() - t0
+    queries["triangle_count"], extra["triangles"] = best_of(
+        lambda: triangle_count(gt.edges, gt.n_vertices)
+    )
 
     # --- minhash signatures: compute-bound stateless map over page texts ---
     docs_rep = (
@@ -166,16 +188,16 @@ def run_bench() -> dict:
     extra["minhash_docs_per_sec"] = round(n_sig_docs / best)
 
     # --- dedup + knn on the raw sf tables ---
-    t0 = time.perf_counter()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
-    pairs = near_dup_pairs(docs, threshold=0.7)
-    queries["minhash_dedup"] = time.perf_counter() - t0
+    queries["minhash_dedup"], pairs = best_of(
+        lambda: near_dup_pairs(docs, threshold=0.7)
+    )
     extra["near_dup_pairs"] = pairs.num_rows
 
-    t0 = time.perf_counter()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    knn_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
-    queries["knn"] = time.perf_counter() - t0
+    queries["knn"], _ = best_of(
+        lambda: knn_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
+    )
 
     ray.shutdown()
     return {
@@ -316,7 +338,9 @@ def run_scaling() -> dict:
             "unit": "edges/sec (p20 iter)" if p == "spmv" else "docs/sec",
             "efficiency": eff,
         }
-    report["scaling_efficiency"] = max(
+    # headline = the WORST phase (ADVICE r2: max() let one well-scaling
+    # phase mask a poorly-scaling one; min() is the honest aggregate)
+    report["scaling_efficiency"] = min(
         v["efficiency"] for v in report["phases"].values()
     )
     return report

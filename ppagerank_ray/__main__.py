@@ -38,12 +38,20 @@ def parse_spec_line(line: str) -> dict:
         return json.loads(line)
     toks = shlex.split(line)
     spec: dict = {}
+
+    def is_value(tok: str) -> bool:
+        # a token is an option VALUE unless it looks like a flag; negative
+        # numbers ('-0.5', '-1e-3') start with '-' but are values (ADVICE r2)
+        if not tok.startswith("-"):
+            return True
+        return len(tok) > 1 and (tok[1].isdigit() or tok[1] == ".")
+
     i = 0
     while i < len(toks):
         tok = toks[i]
-        if tok.startswith("-"):
+        if tok.startswith("-") and not is_value(tok):
             key = tok.lstrip("-")
-            if i + 1 < len(toks) and not toks[i + 1].startswith("-"):
+            if i + 1 < len(toks) and is_value(toks[i + 1]):
                 spec[key] = toks[i + 1]
                 i += 2
             else:

@@ -459,6 +459,17 @@ class _VertexWorker:
             "src_span": [int(self.d_span[0]), int(self.d_span[1])],
         }
 
+    def shuffle_profile(self) -> list[int]:
+        """BYTES this worker ships to each destination partition per SpMV
+        round (unique dsts × (8B key + 8B value)). The sparsity pattern is
+        fixed after load, so this is exact for EVERY iteration — the
+        manifest records it once instead of re-measuring per round."""
+        out = []
+        for q in range(self.P):
+            r = self.d_runs[q] if self.d_runs is not None else None
+            out.append(0 if r is None else int(len(r[1]) * 16))
+        return out
+
     def edge_signature(self) -> list[int]:
         """Content checksum of this partition's edge block: (count, src span,
         dst span, order-invariant 64-bit mix of (src, dst, weight-bits)).
@@ -617,6 +628,7 @@ class VertexEngine:
         self.n_edges = total
         self.d_spans = [(lo, hi) for _, lo, hi in out]
         self._fingerprint = None  # edge content changed
+        self._shuffle_profile = None
         return total
 
     def load_undirected(self, und_edges: rd.Dataset):
@@ -749,6 +761,20 @@ class VertexEngine:
             }
         return self._fingerprint
 
+    def shuffle_profile(self) -> dict:
+        """Per-iteration all-to-all volume (SURVEY §4 observability row):
+        exact bytes each SpMV round moves, total and per-worker skew.
+        Constant across iterations for a loaded graph — computed once."""
+        if getattr(self, "_shuffle_profile", None) is None:
+            mats = ray.get([w.shuffle_profile.remote() for w in self.workers])
+            per_worker = [int(sum(row)) for row in mats]
+            self._shuffle_profile = {
+                "bytes_per_iteration_total": int(sum(per_worker)),
+                "bytes_per_worker_max": max(per_worker, default=0),
+                "bytes_per_worker_min": min(per_worker, default=0),
+            }
+        return self._shuffle_profile
+
     def top1(self, name: str, decimals: int | None = None) -> tuple[float, int]:
         """Global (max value, id), ties → lowest id; O(P) driver work."""
         parts = ray.get([w.vec_top1.remote(name, decimals) for w in self.workers])
@@ -760,6 +786,13 @@ class VertexEngine:
     ):
         it_dir = os.path.join(ckpt_dir, f"iter_{iteration:06d}")
         ray.get([w.write_checkpoint.remote(it_dir, names) for w in self.workers])
+        # per-iteration observability (round-2 verdict item 8): history rows
+        # carry sec + edges_per_sec per iteration; shuffle volume and
+        # partition skew are sparsity-pattern properties, exact for every
+        # iteration, recorded once here so BENCH quotes the manifest
+        # instead of scraping logs
+        part_stats = self.partition_stats()
+        edge_counts = [s["directed_edges"] for s in part_stats]
         manifest = {
             "iteration": iteration,
             "n_vertices": self.V,
@@ -768,6 +801,9 @@ class VertexEngine:
             "vbounds": list(map(int, self.vb)),
             "names": names,
             "history": self.history,
+            "shuffle": self.shuffle_profile() if self.n_edges else {},
+            "partition_edges_max": max(edge_counts, default=0),
+            "partition_edges_min": min(edge_counts, default=0),
             **meta,
         }
         tmp = os.path.join(ckpt_dir, "manifest.json.tmp")

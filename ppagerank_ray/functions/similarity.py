@@ -33,9 +33,28 @@ _SEED = 42
 
 
 def _unpack_batch(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(vec_id, embedding list<float>) batch → (ids, n×d float64 matrix).
+
+    Zero-copy Arrow decode (round-2 verdict item 4): flatten the list
+    column's value buffer straight into numpy and reshape — no
+    to_pylist()/Python-object hop. Fixed row width is asserted from the
+    list offsets (ragged input would silently mis-reshape otherwise)."""
     ids = t["vec_id"].to_numpy()
-    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    return ids, M
+    col = t["embedding"].combine_chunks()
+    n = len(col)
+    if n == 0:
+        return ids, np.empty((0, 0), np.float64)
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+    else:
+        offs = col.offsets.to_numpy()
+        widths = np.diff(offs)
+        if widths.min() != widths.max():
+            raise ValueError("ragged embedding column")
+        d = int(widths[0])
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(n, d).astype(np.float64, copy=False)
 
 
 def _norm_rows(M: np.ndarray) -> np.ndarray:
@@ -195,8 +214,14 @@ def _block_pair_dups(
     )
 
 
+# above this corpus size the default near-dup path flips from the exact
+# O(N²)-flop block-pair join to the LSH candidates+verify scale path
+# (round-2 verdict item 5: the caller should not have to know to ask)
+EXACT_NEAR_DUP_MAX_ROWS = 2_000_000
+
+
 def near_dup_embeddings(
-    emb: rd.Dataset, threshold: float = 0.4, method: str = "exact"
+    emb: rd.Dataset, threshold: float = 0.4, method: str = "auto"
 ) -> pa.Table:
     """All pairs (id_a < id_b) with cosine ≥ τ, sorted.
 
@@ -205,7 +230,20 @@ def near_dup_embeddings(
     at any τ (matches the SQL oracle); the driver never materializes the
     embedding matrix. method="lsh": hyperplane-bucket candidates + exact
     verify (recall-tested scale path for τ where LSH collision curves are
-    sharp, e.g. ≥0.9)."""
+    sharp, e.g. ≥0.9). method="auto" (default): exact up to
+    EXACT_NEAR_DUP_MAX_ROWS rows, LSH above — O(N²) flops stop being
+    payable long before the exact answer stops being computable."""
+    if method == "auto":
+        n_rows = emb.count()
+        if n_rows > EXACT_NEAR_DUP_MAX_ROWS:
+            print(
+                f"near_dup_embeddings: {n_rows} rows > "
+                f"{EXACT_NEAR_DUP_MAX_ROWS}; auto-selecting method='lsh' "
+                "(approximate, recall-tested) over the exact O(N²) join"
+            )
+            method = "lsh"
+        else:
+            method = "exact"
     if method == "lsh":
         return _near_dup_lsh(emb, threshold)
     cpus = int(ray.cluster_resources().get("CPU", 4))

@@ -197,3 +197,92 @@ def test_write_bvgraph_roundtrips_built_graph(tmp_path, sf_tiny):
         .reset_index(drop=True)
     )
     assert (got[["src", "dst"]].values == exp.values).all()
+
+
+@pytest.mark.parametrize("n_ranges", [4, 7])
+def test_parallel_range_decode_matches_sequential(tmp_path, n_ranges):
+    """Round-3: the .offsets fan-out decode must be edge-identical to the
+    sequential root-reader at any range count, window references and all."""
+    from ppagerank_ray.sources.bvgraph import (
+        decode_bvgraph,
+        decode_bvgraph_range,
+        encode_bvgraph,
+        read_bvgraph,
+        read_offsets,
+        read_properties,
+    )
+
+    rng = np.random.default_rng(n_ranges)
+    succ = _random_successors(rng, 500)
+    base = str(tmp_path / "pg")
+    encode_bvgraph(succ, base)
+    props = read_properties(base)
+    seq_s, seq_d = [], []
+    for s, d in decode_bvgraph(base):
+        seq_s.append(s)
+        seq_d.append(d)
+    seq_s = np.concatenate(seq_s) if seq_s else np.empty(0, np.int64)
+    seq_d = np.concatenate(seq_d) if seq_d else np.empty(0, np.int64)
+    offsets = read_offsets(base, props["nodes"])
+    bounds = np.linspace(0, props["nodes"], n_ranges + 1).astype(int)
+    par_s, par_d = [], []
+    for x0, x1 in zip(bounds[:-1], bounds[1:]):
+        s, d = decode_bvgraph_range(base, offsets, int(x0), int(x1), props)
+        par_s.append(s)
+        par_d.append(d)
+    np.testing.assert_array_equal(np.concatenate(par_s), seq_s)
+    np.testing.assert_array_equal(np.concatenate(par_d), seq_d)
+    # the Dataset reader dispatches through ray tasks and must agree too
+    ds, m, n, nnz = read_bvgraph(base, parallelism=4)
+    got = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    order = np.lexsort((seq_d, seq_s))
+    np.testing.assert_array_equal(got["src"].to_numpy(), seq_s[order])
+    np.testing.assert_array_equal(got["dst"].to_numpy(), seq_d[order])
+    assert nnz == len(seq_s) and m == props["nodes"]
+
+
+def test_bitwriter_streaming_flush_equivalence(tmp_path):
+    """Tiny flush windows, sink-mode and in-memory mode must all produce
+    byte-identical streams (ADVICE round 2: incremental packed flush)."""
+    from ppagerank_ray.sources.bvgraph import BitWriter
+
+    def fill(w):
+        rng = np.random.default_rng(5)
+        for _ in range(2000):
+            w.write_gamma(int(rng.integers(0, 500)))
+            w.write_zeta(int(rng.integers(0, 500)), 3)
+            w.write_unary(int(rng.integers(0, 20)))
+            w.write_int(int(rng.integers(0, 255)), 8)
+
+    big = BitWriter(flush_bits=1 << 30)
+    fill(big)
+    small = BitWriter(flush_bits=8)
+    fill(small)
+    assert big.getvalue() == small.getvalue()
+    assert big.bit_count == small.bit_count
+    p = tmp_path / "sink.bits"
+    with open(p, "wb") as f:
+        sw = BitWriter(sink=f, flush_bits=64)
+        fill(sw)
+        sw.finalize()
+    assert p.read_bytes() == big.getvalue()
+
+
+def test_write_bvgraph_rejects_out_of_range_endpoints(tmp_path):
+    """ADVICE round 2: src/dst ≥ n_vertices must raise, not silently write
+    a graph whose .properties disagree with the caller's vertex count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ppagerank_ray.sources.bvgraph import write_bvgraph_from_edges
+
+    edges = rd.from_arrow(
+        pa.Table.from_pydict({"src": [0, 1, 9], "dst": [1, 2, 0]})
+    )
+    with pytest.raises(ValueError, match="src outside"):
+        write_bvgraph_from_edges(edges, 5, str(tmp_path / "bad"))
+    edges2 = rd.from_arrow(
+        pa.Table.from_pydict({"src": [0, 1, 2], "dst": [1, 2, 11]})
+    )
+    with pytest.raises(ValueError, match="dst outside"):
+        write_bvgraph_from_edges(edges2, 5, str(tmp_path / "bad2"))

@@ -58,6 +58,14 @@ def test_resume_reproduces_uninterrupted_run(graph, tmp_path):
     hist = manifest["history"]
     assert hist[-1]["residual_l1"] < 1e-8
     assert all("edges_per_sec" in h for h in hist)
+    # round-3: SpMV shuffle volume + partition skew in the manifest
+    # (SURVEY §4 observability — exact per iteration, pattern-invariant)
+    assert manifest["shuffle"]["bytes_per_iteration_total"] > 0
+    assert (
+        manifest["shuffle"]["bytes_per_worker_max"]
+        >= manifest["shuffle"]["bytes_per_worker_min"]
+    )
+    assert manifest["partition_edges_max"] >= manifest["partition_edges_min"] > 0
     # per-partition slice files exist for the final iteration
     it_dir = os.path.join(ckpt, f"iter_{manifest['iteration']:06d}")
     assert len(os.listdir(it_dir)) == manifest["num_partitions"]

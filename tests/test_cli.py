@@ -62,3 +62,15 @@ def test_cli_script_reference_syntax_verbatim(tmp_path):
     assert [r["alg"] for r in runs] == ["power", "arnoldi"]
     assert all(r["iterations"] > 0 for r in runs)
     assert all(r["residual_l1"] < 1e-7 for r in runs)
+
+
+def test_parse_spec_line_negative_values():
+    """Negative option values ('-alpha -0.5') are values, not flags
+    (ADVICE round 2)."""
+    from ppagerank_ray.__main__ import parse_spec_line
+
+    spec = parse_spec_line("-alpha -0.5 -tol -1e-8 -alg power -trans")
+    assert spec["alpha"] == "-0.5"
+    assert spec["tol"] == "-1e-8"
+    assert spec["alg"] == "power"
+    assert spec["trans"] is True

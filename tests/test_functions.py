@@ -417,3 +417,92 @@ def test_media_frame_sample_and_resize_plumbing(sf_small):
         FrameSampler(decode=True)(t)
     with pytest.raises(NotImplementedError):
         Resizer(decode=True)(t)
+
+
+def test_jaccard_packed_matches_scalar():
+    """The vectorized tag-and-intersect kernel must equal per-pair set
+    Jaccard on random sorted-distinct 41-bit value sets, including empty
+    sides and both-empty (-1.0) pairs."""
+    from ppagerank_ray.functions.dedup import _jaccard_packed
+
+    rng = np.random.default_rng(7)
+    sets = []
+    for _ in range(200):
+        n = int(rng.integers(0, 40))
+        sets.append(np.unique(rng.integers(0, 1 << 41, n, dtype=np.int64)))
+    sets[3] = np.empty(0, np.int64)
+    sets[4] = np.empty(0, np.int64)
+    pairs = [(int(rng.integers(0, 200)), int(rng.integers(0, 200))) for _ in range(500)]
+    pairs += [(3, 4), (3, 5), (5, 3)]  # empty-vs-empty and one-sided-empty
+    va = np.concatenate([sets[a] for a, _ in pairs] or [np.empty(0, np.int64)])
+    vb = np.concatenate([sets[b] for _, b in pairs] or [np.empty(0, np.int64)])
+    oa = np.concatenate([[0], np.cumsum([len(sets[a]) for a, _ in pairs])])
+    ob = np.concatenate([[0], np.cumsum([len(sets[b]) for _, b in pairs])])
+    got = _jaccard_packed(va, oa.astype(np.int64), vb, ob.astype(np.int64))
+    for i, (a, b) in enumerate(pairs):
+        sa, sb = set(sets[a].tolist()), set(sets[b].tolist())
+        if not sa and not sb:
+            assert got[i] == -1.0
+        else:
+            exp = len(sa & sb) / len(sa | sb)
+            assert abs(got[i] - exp) < 1e-12, (i, a, b)
+
+
+def test_near_dup_dedup_engine_cc_fallback_matches_union_find(sf_small, monkeypatch):
+    """Forcing the pair-count threshold to 0 routes component labeling
+    through the vertex engine's distributed CC; survivors must be identical
+    to the driver union-find path."""
+    import ppagerank_ray.functions.dedup as dd
+
+    base = dd.near_dup_dedup(_docs_ds(sf_small), threshold=0.7)
+    monkeypatch.setattr(dd, "UNION_FIND_MAX_PAIRS", 0)
+    forced = dd.near_dup_dedup(_docs_ds(sf_small), threshold=0.7)
+    assert base.num_rows < _docs_ds(sf_small).count()  # something was dropped
+    assert base.equals(forced)
+
+
+def test_near_dup_embeddings_auto_selects_lsh(monkeypatch):
+    """Above EXACT_NEAR_DUP_MAX_ROWS the default method flips to the LSH
+    scale path (round-2 verdict item 5); below it stays exact."""
+    import ppagerank_ray.functions.similarity as sim
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16))
+    dup = base[:20] + 0.05 * rng.standard_normal((20, 16))
+    M = np.vstack([base, dup])
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"vec_id": np.arange(len(M), dtype=np.int64), "embedding": list(M)}
+        )
+    )
+    exact = sim.near_dup_embeddings(ds, threshold=0.9, method="exact").to_pandas()
+    auto_small = sim.near_dup_embeddings(ds, threshold=0.9).to_pandas()
+    assert auto_small.equals(exact)  # below the gate auto == exact
+    monkeypatch.setattr(sim, "EXACT_NEAR_DUP_MAX_ROWS", 10)
+    auto_big = sim.near_dup_embeddings(ds, threshold=0.9).to_pandas()
+    se = set(zip(exact["id_a"], exact["id_b"]))
+    sb = set(zip(auto_big["id_a"], auto_big["id_b"]))
+    assert sb <= se and len(se & sb) / len(se) >= 0.8  # lsh path engaged
+
+
+def test_unpack_batch_zero_copy_matches_pylist():
+    """Arrow-buffer embedding decode must equal the old to_pylist path for
+    list and fixed_size_list columns."""
+    from ppagerank_ray.functions.similarity import _unpack_batch
+
+    rng = np.random.default_rng(11)
+    M = rng.standard_normal((37, 8))
+    ids = np.arange(37, dtype=np.int64)
+    t_list = pa.Table.from_pydict({"vec_id": ids, "embedding": list(M)})
+    got_ids, got = _unpack_batch(t_list)
+    np.testing.assert_array_equal(got_ids, ids)
+    np.testing.assert_allclose(got, M, rtol=0)
+    fsl = pa.FixedSizeListArray.from_arrays(pa.array(M.ravel()), 8)
+    t_fsl = pa.Table.from_arrays([pa.array(ids), fsl], names=["vec_id", "embedding"])
+    got_ids2, got2 = _unpack_batch(t_fsl)
+    np.testing.assert_allclose(got2, M, rtol=0)
+    # sliced batches (non-zero Arrow offset) must decode the right window
+    sl = t_list.slice(5, 9)
+    got_ids3, got3 = _unpack_batch(sl)
+    np.testing.assert_array_equal(got_ids3, ids[5:14])
+    np.testing.assert_allclose(got3, M[5:14], rtol=0)

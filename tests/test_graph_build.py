@@ -152,3 +152,25 @@ def test_fast_build_external_guard_falls_back(sf_tiny, monkeypatch):
         gb.build_graph_fast(synth_pages(sf_tiny))
     gt = gb.build_graph(synth_pages(sf_tiny))  # falls back to generic
     assert gt.n_edges > 0 and not gt.edges_sorted
+
+
+def test_fast_build_vertex_gate_falls_back(sf_tiny, monkeypatch):
+    """Round-2 verdict item 1: above BROADCAST_MAX_VERTICES the fast path
+    must refuse (it builds O(V) driver arrays) and build_graph must fall
+    back to the generic hash-join path with identical GraphTables."""
+    import ppagerank_ray.graph.build as gb
+
+    base = gb.build_graph(synth_pages(sf_tiny))
+    monkeypatch.setattr(gb, "BROADCAST_MAX_VERTICES", 3)
+    with pytest.raises(AssertionError):
+        gb.build_graph_fast(synth_pages(sf_tiny))
+    gt = gb.build_graph(synth_pages(sf_tiny))  # falls back to generic
+    assert not gt.edges_sorted
+    assert (gt.n_vertices, gt.n_edges) == (base.n_vertices, base.n_edges)
+    v1 = base.vertices.to_pandas().sort_values("id").reset_index(drop=True)
+    v2 = gt.vertices.to_pandas().sort_values("id").reset_index(drop=True)
+    assert v1.equals(v2)
+    e1 = base.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    e2 = gt.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (e1[["src", "dst"]].values == e2[["src", "dst"]].values).all()
+    np.testing.assert_allclose(e1["weight"], e2["weight"], rtol=1e-12)
