@@ -786,9 +786,10 @@ def _minhash_candidates_sql() -> str:
         f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
         for p in range(len(a))
     )
-    bh_empty = np.uint64(0)
+    bh_empty = 0  # python-int mod-2^64 fold (same wrap the uint64 kernel does)
     for _ in range(LSH_ROWS):
-        bh_empty = bh_empty * np.uint64(K) + _MERSENNE
+        bh_empty = (bh_empty * K + int(_MERSENNE)) % W
+    bh_empty = np.uint64(bh_empty)
     g5 = " + ".join(
         f"unicode(substr(g, {i + 1}, 1)) * {257 ** (4 - i)}::HUGEINT"
         for i in range(5)

@@ -76,19 +76,28 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
 
+    max_attempts = int(os.environ.get("PPR_BENCH_ATTEMPTS", "4"))
+
     def best_of(fn, n: int = 2):
-        """min-of-n phase timing: co-tenant bursts on this box stall
-        identical work 2-10× for minutes at a time (BASELINE.md 'noise');
-        the min estimates machine capability, same spirit as the p20
+        """Adaptive min-of-n phase timing: co-tenant bursts on this box
+        stall identical work 2-10× for MINUTES at a time (BASELINE.md
+        'noise'), so two back-to-back attempts can both land inside one
+        burst. Run n attempts; while the observed spread says a burst was
+        present (max/min > 1.4) keep retrying up to PPR_BENCH_ATTEMPTS.
+        The min estimates machine capability, same spirit as the p20
         per-iteration metric and the --scaling interleaved best-of."""
-        best_dt, out = None, None
-        for _ in range(n):
+        times, out = [], None
+        while True:
             t0 = time.perf_counter()
             r = fn()
             dt = time.perf_counter() - t0
-            if best_dt is None or dt < best_dt:
-                best_dt, out = dt, r
-        return best_dt, out
+            if not times or dt < min(times):
+                out = r
+            times.append(dt)
+            if len(times) >= n and (
+                max(times) / min(times) <= 1.4 or len(times) >= max_attempts
+            ):
+                return min(times), out
 
     # warm: OS page cache + Ray worker process pool (first Dataset execution
     # forks ~num_cpus python workers; that is session setup, not pipeline)
@@ -118,10 +127,21 @@ def run_bench() -> dict:
     # --- pagerank on the large formula graph (primary metric) ---
     nv = n_vertices_for(bench_pages)
     edges = synth_edges(bench_pages, parallelism=num_cpus * 4)
-    eng = VertexEngine(nv, num_partitions=P, n_threads=T)
-    t_load0 = time.perf_counter()
-    n_edges = eng.load_directed(edges, presorted=True)
-    extra["pagerank_load_sec"] = round(time.perf_counter() - t_load0, 3)
+
+    # best-of-2 like the other phases (the load was the round-2 verdict's
+    # headline noise exhibit: 6.9 s quiet vs 16 s under a co-tenant burst,
+    # identical code); the last-loaded engine is kept for the runs
+    best_load = None
+    eng = None
+    for _ in range(2):
+        if eng is not None:
+            eng.shutdown()
+        eng = VertexEngine(nv, num_partitions=P, n_threads=T)
+        t0 = time.perf_counter()
+        n_edges = eng.load_directed(edges, presorted=True)
+        dt = time.perf_counter() - t0
+        best_load = dt if best_load is None else min(best_load, dt)
+    extra["pagerank_load_sec"] = round(best_load, 3)
     power_iteration(eng, PageRankConfig(alpha=0.85, tol=0.0, maxiter=3))  # warm
     runs, iter_secs = [], []
     for _ in range(3):
@@ -255,6 +275,38 @@ def run_scaling_phase(phase: str, ncpus: int) -> dict:
         p20 = iter_secs[max(0, len(iter_secs) // 5 - 1)]
         out.update(n_edges=n_edges, p20_sec=round(p20, 4),
                    throughput=round(n_edges / p20))
+    elif phase == "bvgraph":
+        # parallel .offsets range decode A/B (round-3): same encoded file,
+        # decode fan-out at N vs 4N pinned cores. The file is generated
+        # deterministically once and cached in /tmp.
+        import numpy as np
+
+        from ppagerank_ray.sources import bvgraph as bvg
+
+        nodes = int(os.environ.get("PPR_BVG_NODES", "200000"))
+        base = f"/tmp/ppr_bvg_scale_{nodes}"
+        if not os.path.exists(base + ".graph"):
+            rng = np.random.default_rng(42)
+
+            def gen():
+                for x in range(nodes):
+                    d = int(rng.integers(0, 25))
+                    if d == 0:
+                        yield np.empty(0, np.int64)
+                        continue
+                    # locality-biased targets → realistic window references
+                    yield np.unique((x + rng.integers(1, 1000, size=d)) % nodes)
+
+            bvg.encode_bvgraph(gen(), base)
+        best = None
+        n_arcs = 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ds, _, _, n_arcs = bvg.read_bvgraph(base, parallelism=ncpus)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out.update(arcs=n_arcs, sec=round(best, 3),
+                   throughput=round(n_arcs / best))
     else:  # minhash: compute-bound stateless Ray Data map
         import numpy as np
         import pyarrow as pa
@@ -335,7 +387,8 @@ def run_scaling() -> dict:
         report["phases"][p] = {
             "throughput_lo": blo["throughput"],
             "throughput_hi": bhi["throughput"],
-            "unit": "edges/sec (p20 iter)" if p == "spmv" else "docs/sec",
+            "unit": {"spmv": "edges/sec (p20 iter)",
+                     "bvgraph": "arcs/sec (decode)"}.get(p, "docs/sec"),
             "efficiency": eff,
         }
     # headline = the WORST phase (ADVICE r2: max() let one well-scaling

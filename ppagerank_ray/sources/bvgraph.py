@@ -39,6 +39,14 @@ them would exceed maxrefcount). Byte-identical to the sequential decode
 (tested at ≥4 ranges); assumes the encoder enforced maxrefcount, as ours
 and WebGraph's do.
 
+The γ-coded offsets stream is itself sequential to decode — the parallel
+path's Amdahl term — so our encoder also emits a `.soffsets` sync index
+(fixed-width int64 (node, offsets-bit, graph-bit) triples every
+OFFSETS_SYNC nodes): each range task seeks into the offsets stream and
+decodes only its own slice, leaving nothing serial on the driver.
+Externally-produced graphs with only `.offsets` still fan out via the
+driver-decoded offsets path.
+
 The encoder exists so the decoder is testable without shipping binary
 fixtures (the reference's test graph `wb-cs.stanford` is not in-repo); it
 implements the same window/copy-block/interval/residual compression and is
@@ -59,6 +67,14 @@ DEFAULT_MAX_REF_COUNT = 3
 DEFAULT_MIN_INTERVAL_LENGTH = 3
 DEFAULT_ZETA_K = 3
 CHUNK_EDGES = 1 << 18
+# sync-point spacing for the .soffsets sidecar: every SYNC nodes the
+# encoder records (bit pos in .offsets, bit pos in .graph) as fixed-width
+# int64 pairs, so a range decoder can seek into the γ-coded offsets
+# stream instead of decoding it from node 0 — the serial offsets decode
+# was the Amdahl term of the parallel decode (measured 0.757 efficiency
+# at 2→8 cores with it, ~1.2 s constant for 200k nodes; at 100M nodes it
+# would dominate outright)
+OFFSETS_SYNC = 8192
 
 
 def read_properties(basename: str) -> dict:
@@ -259,18 +275,50 @@ def read_offsets(basename: str, n_nodes: int) -> np.ndarray:
     return out
 
 
+def read_sync_records(basename: str) -> np.ndarray:
+    """`<basename>.soffsets` → (k, 3) int64 array of sync records
+    (node, bit pos of that node's γ in .offsets, accumulated graph bit
+    offset BEFORE that γ) every OFFSETS_SYNC nodes plus one terminal
+    record at node n. Fixed-width and tiny (24 B per 8192 nodes) — the
+    seekable index over the γ-coded offsets stream."""
+    recs = np.fromfile(basename + ".soffsets", dtype=np.int64)
+    return recs.reshape(-1, 3)
+
+
+def read_offsets_range(basename: str, x0: int, x1: int) -> np.ndarray:
+    """Absolute bit positions of nodes x0..x1 INCLUSIVE (length
+    x1-x0+1), decoding only from the nearest preceding sync point — the
+    per-task replacement for the driver's full offsets decode."""
+    recs = read_sync_records(basename)
+    k = int(np.searchsorted(recs[:, 0], x0, side="right") - 1)
+    node0, obit, acc = (int(v) for v in recs[k])
+    with open(basename + ".offsets", "rb") as f:
+        r = BitReader(f.read())
+    r.pos = obit
+    out = np.empty(x1 - x0 + 1, dtype=np.int64)
+    for x in range(node0, x1 + 1):
+        acc += r.read_gamma()
+        if x >= x0:
+            out[x - x0] = acc
+    return out
+
+
 def decode_bvgraph_range(
-    basename: str, offsets: np.ndarray, x0: int, x1: int, props: dict
+    basename: str, offsets: np.ndarray, x0: int, x1: int, props: dict,
+    off0: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode nodes [x0, x1) exactly, reading only the byte span those
     nodes (plus the window seed) occupy. The window seeds from the
     preceding windowsize×maxrefcount nodes decoded LENIENTLY with per-node
     re-seek (see module docstring for why every emitted node's reference
-    chain bottoms out inside the seed)."""
+    chain bottoms out inside the seed). offsets[x - off0] is node x's bit
+    position; off0 lets callers pass only the [seed, x1] slice (the
+    .soffsets path) instead of the full array."""
     W = props["windowsize"]
     seed = max(0, x0 - W * max(props["maxrefcount"], 1))
-    byte0 = int(offsets[seed]) // 8
-    byte1 = (int(offsets[x1]) + 7) // 8
+    assert off0 <= seed, "offsets slice must start at or before the seed"
+    byte0 = int(offsets[seed - off0]) // 8
+    byte1 = (int(offsets[x1 - off0]) + 7) // 8
     with open(basename + ".graph", "rb") as f:
         f.seek(byte0)
         data = f.read(byte1 - byte0)
@@ -282,7 +330,7 @@ def decode_bvgraph_range(
     srcs: list[np.ndarray] = []
     dsts: list[np.ndarray] = []
     for x in range(seed, x1):
-        r.pos = int(offsets[x]) - base  # exact re-seek: errors never cascade
+        r.pos = int(offsets[x - off0]) - base  # exact re-seek: errors never cascade
         if x < x0:
             try:
                 _decode_node(r, x, outd, window, props, strict=False)
@@ -331,16 +379,29 @@ def read_bvgraph(basename: str, parallelism: int | None = None):
     refs = []
     n_arcs = 0
     if use_parallel:
-        offsets = read_offsets(basename, n)
         if parallelism is None:
             parallelism = max(1, min(int(ray.cluster_resources().get("CPU", 4)), n))
-        bounds = _range_bounds(offsets, n, min(parallelism, n))
-        offs_ref = ray.put(offsets)
         props_ref = ray.put(props)
-        outs = [
-            _decode_range_task.remote(basename, offs_ref, x0, x1, props_ref)
-            for x0, x1 in zip(bounds[:-1], bounds[1:])
-        ]
+        if os.path.exists(basename + ".soffsets"):
+            # sync-indexed path: the driver reads only the tiny fixed-width
+            # sync table (24 B / 8192 nodes); each task decodes ITS slice of
+            # the γ offsets stream from the nearest sync point — no serial
+            # full-offsets decode on the driver (the Amdahl term of the
+            # first parallel version: 0.757 efficiency at 2→8 cores)
+            recs = read_sync_records(basename)
+            bounds = _sync_range_bounds(recs, n, min(parallelism, n))
+            outs = [
+                _decode_range_sync_task.remote(basename, x0, x1, props_ref)
+                for x0, x1 in zip(bounds[:-1], bounds[1:])
+            ]
+        else:
+            offsets = read_offsets(basename, n)
+            bounds = _range_bounds(offsets, n, min(parallelism, n))
+            offs_ref = ray.put(offsets)
+            outs = [
+                _decode_range_task.remote(basename, offs_ref, x0, x1, props_ref)
+                for x0, x1 in zip(bounds[:-1], bounds[1:])
+            ]
         n_arcs = int(sum(ray.get([o[0] for o in outs])))
         refs = [o[1] for o in outs]
     else:
@@ -365,9 +426,31 @@ def read_bvgraph(basename: str, parallelism: int | None = None):
     return rd.from_arrow_refs(refs), n, n, n_arcs
 
 
+def _sync_range_bounds(recs: np.ndarray, n_nodes: int, n_ranges: int) -> list[int]:
+    """Range boundaries at sync-record granularity, balanced by the graph
+    bit offsets the sync table already carries."""
+    gb = recs[:, 2]
+    total = int(gb[-1])
+    targets = [total * i // n_ranges for i in range(1, n_ranges)]
+    cut_idx = np.searchsorted(gb, targets)
+    bounds = [0] + [int(recs[min(k, len(recs) - 1), 0]) for k in cut_idx] + [n_nodes]
+    return sorted(set(b for b in bounds if 0 <= b <= n_nodes))
+
+
 @ray.remote(num_returns=2)
 def _decode_range_task(basename: str, offsets, x0: int, x1: int, props):
     src, dst = decode_bvgraph_range(basename, offsets, x0, x1, props)
+    return len(src), pa.Table.from_pydict({"src": src, "dst": dst})
+
+
+@ray.remote(num_returns=2)
+def _decode_range_sync_task(basename: str, x0: int, x1: int, props):
+    """Self-contained range decode: offsets slice from the sync index,
+    then the windowed range decode — nothing serial on the driver."""
+    W = props["windowsize"]
+    seed = max(0, x0 - W * max(props["maxrefcount"], 1))
+    offs = read_offsets_range(basename, seed, x1)
+    src, dst = decode_bvgraph_range(basename, offs, x0, x1, props, off0=seed)
     return len(src), pa.Table.from_pydict({"src": src, "dst": dst})
 
 
@@ -506,6 +589,7 @@ def encode_bvgraph(
     w = BitWriter(sink=f_graph)
     ow = BitWriter(sink=f_offs)
     prev_off = 0
+    sync_recs: list[int] = []  # flat (node, offsets_bit, graph_bit_acc)
     n = 0
     arcs_total = 0
     # sliding window of the last window_size (list, copy-chain-length) pairs;
@@ -514,6 +598,8 @@ def encode_bvgraph(
     for succ in successors:
         x = n
         n += 1
+        if x % OFFSETS_SYNC == 0:
+            sync_recs += [x, ow.bit_count, prev_off]
         ow.write_gamma(w.bit_count - prev_off)  # node start, delta-coded
         prev_off = w.bit_count
         succ = np.asarray(succ, dtype=np.int64)
@@ -580,11 +666,13 @@ def encode_bvgraph(
             else:
                 w.write_zeta(v - prev - 1, zeta_k)
             prev = v
+    sync_recs += [n, ow.bit_count, prev_off]  # terminal record (entry n)
     ow.write_gamma(w.bit_count - prev_off)  # final end-of-stream offset
     w.finalize()
     ow.finalize()
     f_graph.close()
     f_offs.close()
+    np.asarray(sync_recs, dtype=np.int64).tofile(basename + ".soffsets")
     with open(basename + ".properties", "w") as f:
         f.write(
             f"nodes={n}\narcs={arcs_total}\nwindowsize={window_size}\n"

@@ -286,3 +286,66 @@ def test_write_bvgraph_rejects_out_of_range_endpoints(tmp_path):
     )
     with pytest.raises(ValueError, match="dst outside"):
         write_bvgraph_from_edges(edges2, 5, str(tmp_path / "bad2"))
+
+
+@pytest.mark.parametrize(
+    "window,minint,zk,mrc",
+    [(7, 3, 3, 3), (0, 2, 2, 3), (3, 4, 1, 1), (7, 0, 3, 5)],
+)
+def test_parallel_range_decode_param_combos(tmp_path, window, minint, zk, mrc):
+    """Range decode must match sequential for every codec-parameter combo,
+    including no-window (no refs), no-intervals, and deep/shallow
+    maxrefcount chains (the seed-span proof depends on maxrefcount)."""
+    from ppagerank_ray.sources.bvgraph import (
+        decode_bvgraph,
+        decode_bvgraph_range,
+        encode_bvgraph,
+        read_offsets,
+        read_properties,
+    )
+
+    rng = np.random.default_rng(1000 * window + 100 * minint + 10 * zk + mrc)
+    succ = _random_successors(rng, 300)
+    base = str(tmp_path / f"pr_{window}_{minint}_{zk}_{mrc}")
+    encode_bvgraph(
+        succ, base, window_size=window, min_interval_length=minint,
+        zeta_k=zk, max_ref_count=mrc,
+    )
+    props = read_properties(base)
+    seq = {}
+    for s, d in decode_bvgraph(base):
+        for x in np.unique(s):
+            seq[int(x)] = np.concatenate([seq.get(int(x), np.empty(0, np.int64)), d[s == x]])
+    offsets = read_offsets(base, props["nodes"])
+    for x0, x1 in [(0, 80), (80, 200), (200, 300), (150, 151)]:
+        s, d = decode_bvgraph_range(base, offsets, x0, x1, props)
+        for x in range(x0, x1):
+            np.testing.assert_array_equal(
+                d[s == x], seq.get(x, np.empty(0, np.int64)),
+                err_msg=f"node {x} range [{x0},{x1}) w={window}",
+            )
+
+
+def test_offsets_range_matches_full_decode(tmp_path):
+    """The sync-indexed per-range offsets decode must reproduce the full
+    γ-stream decode for arbitrary windows, including across sync points."""
+    import ppagerank_ray.sources.bvgraph as bvg
+
+    rng = np.random.default_rng(9)
+    succ = _random_successors(rng, 400)
+    base = str(tmp_path / "so")
+    # small sync spacing so a 400-node graph crosses several sync points
+    orig = bvg.OFFSETS_SYNC
+    bvg.OFFSETS_SYNC = 64
+    try:
+        bvg.encode_bvgraph(succ, base)
+    finally:
+        bvg.OFFSETS_SYNC = orig
+    full = bvg.read_offsets(base, 400)
+    recs = bvg.read_sync_records(base)
+    assert recs[0, 0] == 0 and recs[-1, 0] == 400
+    for x0, x1 in [(0, 10), (63, 65), (64, 64), (100, 400), (399, 400)]:
+        got = bvg.read_offsets_range(base, x0, x1)
+        np.testing.assert_array_equal(got, full[x0 : x1 + 1], err_msg=f"{x0}:{x1}")
+    ds, m, n, nnz = bvg.read_bvgraph(base, parallelism=5)
+    assert n == 400 and nnz == sum(len(s) for s in succ)
