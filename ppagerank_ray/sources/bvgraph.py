@@ -113,6 +113,9 @@ def int2nat(i: int) -> int:
     return 2 * i if i >= 0 else 2 * (-i) - 1
 
 
+_POW2_DESC = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))  # 2^62..2^0
+
+
 class BitReader:
     """MSB-first bit reader over a byte buffer. The whole buffer is
     unpacked once (np.unpackbits) and one-bit positions are pre-indexed, so
@@ -129,7 +132,7 @@ class BitReader:
             return 0
         b = self.bits[self.pos : self.pos + length]
         self.pos += length
-        return int(b @ (1 << np.arange(length - 1, -1, -1, dtype=np.int64)))
+        return int(b @ _POW2_DESC[-length:])
 
     def read_bit(self) -> int:
         v = int(self.bits[self.pos])
@@ -459,6 +462,19 @@ def _decode_range_sync_task(basename: str, x0: int, x1: int, props):
 # ---------------------------------------------------------------------------
 
 
+def _field_bits(vals: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Big-endian bitfield expansion: value i occupies widths[i] bits.
+    One vectorized pass over the total bit count — the bulk emitter
+    behind write_gamma_array / write_zeta_array. Zero widths drop out."""
+    total = int(widths.sum())
+    if total == 0:
+        return np.empty(0, np.uint8)
+    starts = np.cumsum(widths) - widths
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, widths)
+    shift = np.repeat(widths, widths) - 1 - idx
+    return ((np.repeat(vals, widths) >> shift) & 1).astype(np.uint8)
+
+
 class BitWriter:
     """MSB-first bit writer that FLUSHES packed uint8 chunks incrementally
     (ADVICE round 2: the old per-bit list held ~64× the final .graph size
@@ -469,7 +485,8 @@ class BitWriter:
     written — the offsets sidecar reads it between nodes."""
 
     def __init__(self, sink=None, flush_bits: int = 1 << 20):
-        self.bits: list[int] = []
+        self.bits = bytearray()  # one 0/1 byte per pending bit (C-speed
+        # append/extend for both scalar and bulk numpy writes)
         self.sink = sink
         self.chunks: list[bytes] = []
         self.flush_bits = max(8, flush_bits)
@@ -479,7 +496,10 @@ class BitWriter:
         n8 = len(self.bits) // 8 * 8
         if n8 == 0:
             return
-        packed = np.packbits(np.array(self.bits[:n8], dtype=np.uint8)).tobytes()
+        # copy the flush window out first: a live numpy view over the
+        # bytearray would block the resize below (buffer-export rule)
+        arr = np.frombuffer(bytes(self.bits[:n8]), dtype=np.uint8)
+        packed = np.packbits(arr).tobytes()
         del self.bits[:n8]
         if self.sink is not None:
             self.sink.write(packed)
@@ -500,11 +520,54 @@ class BitWriter:
             self._flush()
 
     def write_unary(self, x: int):
-        self.bits.extend([0] * x)
+        self.bits.extend(b"\x00" * x)
         self.bits.append(1)
         self.bit_count += x + 1
         if len(self.bits) >= self.flush_bits:
             self._flush()
+
+    def write_bits_array(self, bits: np.ndarray):
+        """Bulk append of a 0/1 uint8 bit array (from _field_bits)."""
+        self.bits.extend(bits.tobytes())
+        self.bit_count += len(bits)
+        if len(self.bits) >= self.flush_bits:
+            self._flush()
+
+    def write_gamma_array(self, vals: np.ndarray):
+        """γ codes for an int64 array in one vectorized pass (values must
+        be < 2^52 so the frexp bit-length trick is exact)."""
+        if len(vals) == 0:
+            return
+        x = np.asarray(vals, dtype=np.int64) + 1
+        bl = np.frexp(x.astype(np.float64))[1].astype(np.int64)  # bit_length
+        msb = bl - 1
+        fv = np.empty((len(x), 2), dtype=np.int64)
+        fw = np.empty((len(x), 2), dtype=np.int64)
+        fv[:, 0] = 1            # unary(msb) == value 1 in width msb+1
+        fw[:, 0] = msb + 1
+        fv[:, 1] = x - (np.int64(1) << msb)
+        fw[:, 1] = msb
+        self.write_bits_array(_field_bits(fv.ravel(), fw.ravel()))
+
+    def write_zeta_array(self, vals: np.ndarray, k: int):
+        """ζ_k codes for an int64 array in one vectorized pass (the
+        residual hot path of the encoder; values < 2^52)."""
+        if len(vals) == 0:
+            return
+        x = np.asarray(vals, dtype=np.int64) + 1
+        bl = np.frexp(x.astype(np.float64))[1].astype(np.int64)
+        h = (bl - 1) // k
+        left = np.int64(1) << (h * k)
+        small = x < (left << 1)
+        fv = np.empty((len(x), 3), dtype=np.int64)
+        fw = np.empty((len(x), 3), dtype=np.int64)
+        fv[:, 0] = 1            # unary(h)
+        fw[:, 0] = h + 1
+        fv[:, 1] = np.where(small, x - left, x >> 1)
+        fw[:, 1] = h * k + k - 1
+        fv[:, 2] = x & 1
+        fw[:, 2] = np.where(small, 0, 1)  # explicit trailing bit iff large
+        self.write_bits_array(_field_bits(fv.ravel(), fw.ravel()))
 
     def write_gamma(self, v: int):
         x = v + 1
@@ -544,27 +607,36 @@ class BitWriter:
         return b"".join(self.chunks)
 
 
-def _runs_against_ref(succ: np.ndarray, ref_list: np.ndarray):
-    """(blocks, copied_mask) encoding which of ref_list's entries appear in
-    succ, as alternating copy/skip run lengths starting with a copy run;
-    a trailing copy run is dropped (even count ⇒ decoder copies the tail)."""
-    member = np.isin(ref_list, succ, assume_unique=True)
-    runs: list[int] = []
+def _sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Membership of sorted-unique `needles` in sorted-unique `haystack`
+    via searchsorted — ~10× cheaper than np.isin's per-call setup on the
+    small arrays the encoder's window search sees."""
+    if len(haystack) == 0 or len(needles) == 0:
+        return np.zeros(len(needles), dtype=bool)
+    pos = np.searchsorted(haystack, needles)
+    pos_c = np.minimum(pos, len(haystack) - 1)
+    return (pos < len(haystack)) & (haystack[pos_c] == needles)
+
+
+def _runs_from_member(member: np.ndarray) -> list[int]:
+    """Copy-mask → alternating copy/skip run lengths starting with a copy
+    run; a trailing copy run is dropped (even count ⇒ decoder copies the
+    tail). One diff pass, no per-element loop."""
     if len(member) == 0:
-        return runs, member
-    cur = True  # first run is a COPY run (possibly length 0)
-    count = 0
-    for m in member:
-        if bool(m) == cur:
-            count += 1
-        else:
-            runs.append(count)
-            cur = bool(m)
-            count = 1
-    runs.append(count)
+        return []
+    change = np.flatnonzero(np.diff(member.astype(np.int8)))
+    lens = np.diff(np.concatenate([[0], change + 1, [len(member)]]))
+    runs = lens.tolist() if member[0] else [0] + lens.tolist()
     if len(runs) % 2 == 1:  # trailing copy run → drop (tail-copy rule)
         runs.pop()
-    return runs, member
+    return runs
+
+
+def _runs_against_ref(succ: np.ndarray, ref_list: np.ndarray):
+    """(blocks, copied_mask) for ref_list against succ — kept as the
+    one-call convenience used by tests."""
+    member = _sorted_member(succ, ref_list)
+    return _runs_from_member(member), member
 
 
 def encode_bvgraph(
@@ -608,27 +680,30 @@ def encode_bvgraph(
         if len(succ) == 0:
             window.append((succ, 0))
             continue
-        # pick the window reference copying the most successors
-        best_ref, best_gain, best = 0, 0, None
+        # pick the window reference copying the most successors; membership
+        # gain alone decides, so the run-length encoding is built only for
+        # the winner (the candidates' np.diff/concat overhead dominated the
+        # encode profile at 6 calls/node)
+        best_ref, best_gain, best_member = 0, 0, None
         if window_size > 0:
             for rdist in range(1, min(window_size, x, len(window)) + 1):
                 cand_list, cand_chain = window[-rdist]
                 if cand_chain >= max_ref_count:
                     continue
-                runs, member = _runs_against_ref(succ, cand_list)
-                gain = int(member.sum())
+                member = _sorted_member(succ, cand_list)
+                gain = int(np.count_nonzero(member))
                 if gain > best_gain:
-                    best_ref, best_gain, best = rdist, gain, (runs, member)
+                    best_ref, best_gain, best_member = rdist, gain, member
             w.write_unary(best_ref)
         if best_ref > 0:
-            runs, member = best
+            member = best_member
+            runs = _runs_from_member(member)
             ref_list, ref_chain = window[-best_ref]
             window.append((succ, ref_chain + 1))
             w.write_gamma(len(runs))
             for i, rl in enumerate(runs):
                 w.write_gamma(rl if i == 0 else rl - 1)
-            copied = set(ref_list[member].tolist())
-            rest = np.array([s for s in succ.tolist() if s not in copied], np.int64)
+            rest = succ[~_sorted_member(ref_list[member], succ)]
         else:
             window.append((succ, 0))
             rest = succ
@@ -659,13 +734,13 @@ def encode_bvgraph(
             residuals = rest[~in_ival]
         else:
             residuals = rest
-        prev = -1
-        for v in residuals.tolist():
-            if prev == -1:
-                w.write_zeta(int2nat(v - x), zeta_k)
-            else:
-                w.write_zeta(v - prev - 1, zeta_k)
-            prev = v
+        if len(residuals):
+            # first residual nat2int-relative to x, rest gap−1 — one
+            # vectorized ζ emission (the encoder's hot path)
+            gaps = np.empty(len(residuals), dtype=np.int64)
+            gaps[0] = int2nat(int(residuals[0]) - x)
+            gaps[1:] = np.diff(residuals) - 1
+            w.write_zeta_array(gaps, zeta_k)
     sync_recs += [n, ow.bit_count, prev_off]  # terminal record (entry n)
     ow.write_gamma(w.bit_count - prev_off)  # final end-of-stream offset
     w.finalize()
