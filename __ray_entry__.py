@@ -283,6 +283,30 @@ def _q_hits(sf_dir: str):
     )
 
 
+KATZ_ITERS = 12
+KATZ_ALPHA = 0.05
+KATZ_BETA = 1.0
+
+
+def _q_katz(sf_dir: str):
+    """Katz centrality, fixed iterations over the unweighted adjacency
+    (x = β·1 + α·Aᵀx unrolled — SQL-oracle-comparable)."""
+    from ppagerank_ray.algos.katz import katz
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+
+    gt = _graph(sf_dir)
+    eng = VertexEngine(gt.n_vertices, num_partitions=4)
+    eng.load_directed(
+        gt.edges.select_columns(["src", "dst"]), presorted=gt.edges_sorted
+    )
+    katz(eng, alpha=KATZ_ALPHA, beta=KATZ_BETA, iters=KATZ_ITERS)
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "katz": _round6(x)}
+    )
+
+
 def _q_components(sf_dir: str):
     from ppagerank_ray.algos.components import connected_components
 
@@ -551,6 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_pvec": _q_pagerank_pvec,
         "hits": _q_hits,
+        "katz": _q_katz,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "label_propagation": _q_label_propagation,
@@ -687,6 +712,24 @@ def _hits_sql(iters: int) -> str:
 SELECT a.id, round(a.a, 6) AS authority, round(h.h, 6) AS hub
 FROM a{iters} a JOIN h{iters} h ON a.id = h.id"""
     )
+
+
+def _katz_sql(iters: int, alpha: float, beta: float) -> str:
+    """Fixed-iteration Katz unroll: x_t = β + α·Σ in-edge x_{t-1}."""
+    parts = [
+        _GRAPH_CTES,
+        f", kz0 AS MATERIALIZED (SELECT id, {beta}::DOUBLE AS x FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", kz{t} AS MATERIALIZED (
+  SELECT v.id, {beta} + {alpha}*coalesce(s.ax, 0) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(k.x) AS ax FROM edges e
+    JOIN kz{t-1} k ON e.src = k.id GROUP BY e.dst) s ON v.id = s.id
+)"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT id, round(x, 6) AS katz FROM kz{iters}"
 
 
 def _cc_sql(iters: int) -> str:
@@ -889,6 +932,7 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
         "pagerank_pvec": _pagerank_sql(PR_PVEC_ITERS, pvec=True),
         "hits": _hits_sql(HITS_ITERS),
+        "katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
         "connected_components": _cc_sql(CC_ITERS),
         "component_sizes": _cc_sql(CC_ITERS).replace(
             f"SELECT id, lab AS component FROM cc{CC_ITERS}",

@@ -153,3 +153,24 @@ def test_hits_converges():
     assert info["converged"]
     assert np.argmax(h) == 0  # the star center is the best hub
     assert a[0] < max(a[1:])  # leaves out-rank it as authorities
+
+
+def test_katz_matches_numpy_oracle(sf_tiny):
+    from ppagerank_ray.algos.katz import katz, numpy_katz_oracle
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+    from ppagerank_ray.graph.build import build_graph
+    from ppagerank_ray.sources.pages import synth_pages
+
+    gt = build_graph(synth_pages(sf_tiny))
+    e = gt.edges.to_pandas()
+    src, dst = e["src"].to_numpy(), e["dst"].to_numpy()
+    for iters, alpha in [(1, 0.05), (5, 0.05), (12, 0.01)]:
+        eng = VertexEngine(gt.n_vertices, num_partitions=3)
+        eng.load_directed(
+            gt.edges.select_columns(["src", "dst"]), presorted=gt.edges_sorted
+        )
+        katz(eng, alpha=alpha, beta=1.0, iters=iters)
+        x = eng.to_array("x")
+        eng.shutdown()
+        ref = numpy_katz_oracle(src, dst, gt.n_vertices, alpha, 1.0, iters)
+        np.testing.assert_allclose(x, ref, rtol=1e-12, atol=1e-14)
