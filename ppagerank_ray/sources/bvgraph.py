@@ -113,40 +113,49 @@ def int2nat(i: int) -> int:
     return 2 * i if i >= 0 else 2 * (-i) - 1
 
 
-_POW2_DESC = (np.int64(1) << np.arange(62, -1, -1, dtype=np.int64))  # 2^62..2^0
-
-
 class BitReader:
-    """MSB-first bit reader over a byte buffer. The whole buffer is
-    unpacked once (np.unpackbits) and one-bit positions are pre-indexed, so
-    read_unary is a binary search and read_int a short slice dot — no
-    per-bit Python (cf. bit_istream, bvgraph_matrix.h:91-236)."""
+    """MSB-first bit reader over a byte buffer, built on python-int
+    window reads (`int.from_bytes` + shifts) — no per-bit work AND no
+    np.unpackbits expansion (the earlier design held 8× the file size
+    per decode task and paid ~1-2µs numpy boxing per code read; window
+    reads are ~5× cheaper and O(file) memory). Cf. bit_istream,
+    bvgraph_matrix.h:91-236."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits)
+        self.raw = bytes(data)
+        self.nbits = len(self.raw) * 8
         self.pos = 0
 
     def read_int(self, length: int) -> int:
         if length == 0:
             return 0
-        b = self.bits[self.pos : self.pos + length]
-        self.pos += length
-        return int(b @ _POW2_DESC[-length:])
+        p = self.pos
+        self.pos = p + length
+        b0 = p >> 3
+        nbytes = ((p & 7) + length + 7) >> 3
+        window = int.from_bytes(self.raw[b0 : b0 + nbytes], "big")
+        return (window >> (nbytes * 8 - (p & 7) - length)) & ((1 << length) - 1)
 
     def read_bit(self) -> int:
-        v = int(self.bits[self.pos])
-        self.pos += 1
-        return v
+        p = self.pos
+        self.pos = p + 1
+        return (self.raw[p >> 3] >> (7 - (p & 7))) & 1
 
     def read_unary(self) -> int:
-        i = int(np.searchsorted(self.ones, self.pos))
-        if i >= len(self.ones):
-            raise EOFError("unary read past end of bit stream")
-        one_at = int(self.ones[i])
-        x = one_at - self.pos
-        self.pos = one_at + 1
-        return x
+        start = p = self.pos
+        raw = self.raw
+        while p < self.nbits:
+            b0 = p >> 3
+            chunk = raw[b0 : b0 + 8]
+            nb = len(chunk) * 8
+            # clear the bits before p within this chunk
+            w = int.from_bytes(chunk, "big") & ((1 << (nb - (p & 7))) - 1)
+            if w:
+                one_at = b0 * 8 + (nb - w.bit_length())
+                self.pos = one_at + 1
+                return one_at - start
+            p = (b0 + 8) * 8
+        raise EOFError("unary read past end of bit stream")
 
     def read_gamma(self) -> int:
         msb = self.read_unary()
