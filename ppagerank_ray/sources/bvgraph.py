@@ -169,6 +169,50 @@ class BitReader:
             return m + left - 1
         return (m << 1) + self.read_bit() - 1
 
+    def read_zeta_run(self, k: int, n: int) -> list[int]:
+        """n consecutive ζ_k codes with the decode state held in locals —
+        the residual hot loop of _decode_node (2.26M calls on the 200k
+        fixture paid a python attribute+call round per code otherwise)."""
+        raw = self.raw
+        nbits = self.nbits
+        p = self.pos
+        out = []
+        for _ in range(n):
+            sp = p
+            h = -1
+            while p < nbits:
+                b0 = p >> 3
+                chunk = raw[b0 : b0 + 8]
+                nb = len(chunk) * 8
+                w = int.from_bytes(chunk, "big") & ((1 << (nb - (p & 7))) - 1)
+                if w:
+                    one_at = b0 * 8 + (nb - w.bit_length())
+                    h = one_at - sp
+                    p = one_at + 1
+                    break
+                p = (b0 + 8) * 8
+            if h < 0:
+                raise EOFError("unary read past end of bit stream")
+            length = h * k + k - 1
+            if length:
+                b0 = p >> 3
+                nbytes = ((p & 7) + length + 7) >> 3
+                window = int.from_bytes(raw[b0 : b0 + nbytes], "big")
+                m = (window >> (nbytes * 8 - (p & 7) - length)) & (
+                    (1 << length) - 1
+                )
+                p += length
+            else:
+                m = 0
+            left = 1 << (h * k)
+            if m < left:
+                out.append(m + left - 1)
+            else:
+                out.append((m << 1) + ((raw[p >> 3] >> (7 - (p & 7))) & 1) - 1)
+                p += 1
+        self.pos = p
+        return out
+
 
 def _decode_node(
     r: BitReader, x: int, outd: list, window: list, props: dict,
@@ -220,14 +264,14 @@ def _decode_node(
                 lens.append(ln)
                 prev = lft + ln
                 extra -= ln
-    residuals = np.empty(max(extra, 0), np.int64)
-    prev = -1
-    for i in range(extra):
-        if prev == -1:
-            prev = x + nat2int(r.read_zeta(zk))
-        else:
-            prev = r.read_zeta(zk) + prev + 1
-        residuals[i] = prev
+    if extra > 0:
+        zr = np.array(r.read_zeta_run(zk, extra), dtype=np.int64)
+        # first value nat2int-relative to x, rest gaps−1 → cumulative sum
+        zr[0] = x + nat2int(int(zr[0]))
+        zr[1:] += 1
+        residuals = np.cumsum(zr)
+    else:
+        residuals = np.empty(0, np.int64)
     parts = [residuals]
     for lft, ln in zip(left, lens):
         parts.append(np.arange(lft, lft + ln, dtype=np.int64))
