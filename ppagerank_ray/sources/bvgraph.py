@@ -677,8 +677,12 @@ def _runs_from_member(member: np.ndarray) -> list[int]:
     tail). One diff pass, no per-element loop."""
     if len(member) == 0:
         return []
-    change = np.flatnonzero(np.diff(member.astype(np.int8)))
-    lens = np.diff(np.concatenate([[0], change + 1, [len(member)]]))
+    change = np.flatnonzero(member[1:] != member[:-1])
+    edges = np.empty(len(change) + 2, dtype=np.int64)
+    edges[0] = 0
+    edges[1:-1] = change + 1
+    edges[-1] = len(member)
+    lens = edges[1:] - edges[:-1]
     runs = lens.tolist() if member[0] else [0] + lens.tolist()
     if len(runs) % 2 == 1:  # trailing copy run → drop (tail-copy rule)
         runs.pop()
@@ -690,6 +694,131 @@ def _runs_against_ref(succ: np.ndarray, ref_list: np.ndarray):
     one-call convenience used by tests."""
     member = _sorted_member(succ, ref_list)
     return _runs_from_member(member), member
+
+
+_OP_GAMMA, _OP_UNARY, _OP_ZETA = 0, 1, 2
+
+
+class _EncodeEmitter:
+    """Cross-node op buffer for the encoder: per-node codes append as
+    (type, value) scalars into flat buffers and flush through ONE
+    vectorized width/field expansion per ~`flush_ops` ops, instead of one
+    numpy round-trip per node (the per-call setup of write_zeta_array /
+    write_gamma on ≤10-element arrays dominated the encode profile at
+    ~33 µs/arc). Bit content is byte-identical to the scalar writers: the
+    same codes are emitted in the same order, only the packing is batched.
+
+    The emitter also owns the `.offsets` / `.soffsets` sidecars: node
+    start bit-offsets fall out of the flush's width prefix-sum, so the
+    offsets gammas are emitted vectorized per flush and the sync records
+    are computed from the same arrays — nothing per-node remains on the
+    scalar path. Flushes happen only at node boundaries (`begin_node`),
+    so every buffered op belongs to a completed node."""
+
+    def __init__(self, f_graph, f_offs, zeta_k: int, flush_ops: int = 1 << 16):
+        self.w = BitWriter(sink=f_graph)
+        self.ow = BitWriter(sink=f_offs)
+        self.zeta_k = zeta_k
+        self.flush_ops = flush_ops
+        self.types = bytearray()
+        self.vals: list[int] = []
+        self.node_first_op: list[int] = []
+        self.node_ids: list[int] = []
+        self.graph_bits = 0  # bits already flushed to self.w
+        self.prev_start = 0  # start offset of the last offsets-emitted node
+        self.sync_recs: list[int] = []
+
+    def begin_node(self, x: int):
+        if len(self.vals) >= self.flush_ops:
+            self._flush()
+        self.node_first_op.append(len(self.vals))
+        self.node_ids.append(x)
+
+    def gamma(self, v: int):
+        self.types.append(_OP_GAMMA)
+        self.vals.append(v)
+
+    def unary(self, v: int):
+        self.types.append(_OP_UNARY)
+        self.vals.append(v)
+
+    def zeta_array(self, gaps: np.ndarray):
+        self.types.extend(b"\x02" * len(gaps))
+        self.vals.extend(gaps.tolist())
+
+    def _flush(self):
+        if not self.node_ids:
+            return
+        t = np.frombuffer(bytes(self.types), dtype=np.uint8)
+        v = np.array(self.vals, dtype=np.int64)
+        x = v + 1
+        bl = np.frexp(x.astype(np.float64))[1].astype(np.int64)  # bit_length
+        msb = bl - 1
+        is_g = t == _OP_GAMMA
+        is_u = t == _OP_UNARY
+        is_z = t == _OP_ZETA
+        k = self.zeta_k
+        h = msb // k
+        hk = h * k
+        large = x >= (np.int64(2) << hk)
+        widths = np.empty(len(v), dtype=np.int64)
+        widths[is_g] = 2 * msb[is_g] + 1
+        widths[is_u] = v[is_u] + 1
+        widths[is_z] = (h + hk + k + large)[is_z]
+        # field expansion: unary(u) is value 1 in width u+1; gamma is
+        # unary(msb)+int; zeta is unary(h)+int(+explicit low bit iff large)
+        nf = np.where(is_u, 1, np.where(is_g, 2, 3)).astype(np.int64)
+        foff = np.cumsum(nf) - nf
+        fv = np.zeros(int(nf.sum()), dtype=np.int64)
+        fw = np.zeros(len(fv), dtype=np.int64)
+        ui = foff[is_u]
+        fv[ui] = 1
+        fw[ui] = v[is_u] + 1
+        gi = foff[is_g]
+        gm = msb[is_g]
+        fv[gi] = 1
+        fw[gi] = gm + 1
+        fv[gi + 1] = x[is_g] - (np.int64(1) << gm)
+        fw[gi + 1] = gm
+        zi = foff[is_z]
+        zh, zx, zl = h[is_z], x[is_z], large[is_z]
+        fv[zi] = 1
+        fw[zi] = zh + 1
+        fv[zi + 1] = np.where(zl, zx >> 1, zx - (np.int64(1) << (zh * k)))
+        fw[zi + 1] = zh * k + k - 1
+        fv[zi + 2] = zx & 1
+        fw[zi + 2] = zl  # width 0 (dropped) unless the explicit bit is due
+        self.w.write_bits_array(_field_bits(fv, fw))
+        # node starts from the width prefix → offsets gammas + sync records
+        op_prefix = np.cumsum(widths) - widths
+        starts = self.graph_bits + op_prefix[np.array(self.node_first_op)]
+        gaps = np.diff(np.concatenate([[self.prev_start], starts]))
+        ids = np.array(self.node_ids, dtype=np.int64)
+        sync_idx = np.flatnonzero(ids % OFFSETS_SYNC == 0)
+        if len(sync_idx):
+            gwidths = 2 * (
+                np.frexp((gaps + 1).astype(np.float64))[1].astype(np.int64) - 1
+            ) + 1
+            ow_prefix = self.ow.bit_count + np.cumsum(gwidths) - gwidths
+            accs = np.concatenate([[self.prev_start], starts[:-1]])
+            for i in sync_idx:
+                self.sync_recs += [int(ids[i]), int(ow_prefix[i]), int(accs[i])]
+        self.ow.write_gamma_array(gaps)
+        self.prev_start = int(starts[-1])
+        self.graph_bits += int(widths.sum())
+        self.types.clear()
+        self.vals.clear()
+        self.node_first_op.clear()
+        self.node_ids.clear()
+
+    def finalize(self, n: int):
+        """Flush, then emit the terminal sync record + end-of-stream
+        offsets entry (entry n = total bits − start(n−1))."""
+        self._flush()
+        self.sync_recs += [n, self.ow.bit_count, self.prev_start]
+        self.ow.write_gamma(self.graph_bits - self.prev_start)
+        self.w.finalize()
+        self.ow.finalize()
 
 
 def encode_bvgraph(
@@ -706,15 +835,17 @@ def encode_bvgraph(
     are retained for reference compression, and packed bytes flush to the
     open files incrementally — O(window + flush buffer) memory, never
     O(bits)). The `.offsets` sidecar (γ-coded gaps of per-node bit
-    offsets, n+1 entries) enables the parallel range decode."""
+    offsets, n+1 entries) enables the parallel range decode.
+
+    The window-reference search batches all candidate lists into ONE
+    searchsorted + segment reduceat per node, and all bit emission goes
+    through the cross-node `_EncodeEmitter` — byte-identical output to
+    the per-candidate/per-code scalar path it replaced, ~4× faster."""
     from collections import deque
 
     f_graph = open(basename + ".graph", "wb")
     f_offs = open(basename + ".offsets", "wb")
-    w = BitWriter(sink=f_graph)
-    ow = BitWriter(sink=f_offs)
-    prev_off = 0
-    sync_recs: list[int] = []  # flat (node, offsets_bit, graph_bit_acc)
+    em = _EncodeEmitter(f_graph, f_offs, zeta_k)
     n = 0
     arcs_total = 0
     # sliding window of the last window_size (list, copy-chain-length) pairs;
@@ -723,84 +854,111 @@ def encode_bvgraph(
     for succ in successors:
         x = n
         n += 1
-        if x % OFFSETS_SYNC == 0:
-            sync_recs += [x, ow.bit_count, prev_off]
-        ow.write_gamma(w.bit_count - prev_off)  # node start, delta-coded
-        prev_off = w.bit_count
+        em.begin_node(x)
         succ = np.asarray(succ, dtype=np.int64)
         arcs_total += len(succ)
-        w.write_gamma(len(succ))
+        em.gamma(len(succ))
         if len(succ) == 0:
             window.append((succ, 0))
             continue
-        # pick the window reference copying the most successors; membership
-        # gain alone decides, so the run-length encoding is built only for
-        # the winner (the candidates' np.diff/concat overhead dominated the
-        # encode profile at 6 calls/node)
-        best_ref, best_gain, best_member = 0, 0, None
+        # pick the window reference copying the most successors. All viable
+        # candidates are scored in ONE searchsorted over their concatenation
+        # (per-candidate calls dominated the profile at 7/node); candidates
+        # iterate by ascending rdist and argmax takes the first maximum, so
+        # tie-breaking matches the sequential search. The winner's matched
+        # positions double as the copied-successor indices, removing the
+        # second membership pass the old `rest` computation paid.
+        best_ref, member, copied_pos = 0, None, None
         if window_size > 0:
+            cand_lists, rdists = [], []
             for rdist in range(1, min(window_size, x, len(window)) + 1):
                 cand_list, cand_chain = window[-rdist]
-                if cand_chain >= max_ref_count:
+                if cand_chain >= max_ref_count or len(cand_list) == 0:
                     continue
-                member = _sorted_member(succ, cand_list)
-                gain = int(np.count_nonzero(member))
-                if gain > best_gain:
-                    best_ref, best_gain, best_member = rdist, gain, member
-            w.write_unary(best_ref)
+                cand_lists.append(cand_list)
+                rdists.append(rdist)
+            if cand_lists:
+                allc = (
+                    np.concatenate(cand_lists)
+                    if len(cand_lists) > 1
+                    else cand_lists[0]
+                )
+                pos = np.searchsorted(succ, allc)
+                pos_c = np.minimum(pos, len(succ) - 1)
+                member_all = (pos < len(succ)) & (succ[pos_c] == allc)
+                bounds = np.cumsum([len(c) for c in cand_lists])
+                gains = np.add.reduceat(
+                    member_all, np.concatenate([[0], bounds[:-1]])
+                )
+                bi = int(np.argmax(gains))
+                if int(gains[bi]) > 0:
+                    best_ref = rdists[bi]
+                    s1 = int(bounds[bi])
+                    s0 = s1 - len(cand_lists[bi])
+                    member = member_all[s0:s1]
+                    copied_pos = pos[s0:s1][member]
+            em.unary(best_ref)
         if best_ref > 0:
-            member = best_member
             runs = _runs_from_member(member)
-            ref_list, ref_chain = window[-best_ref]
+            ref_chain = window[-best_ref][1]
             window.append((succ, ref_chain + 1))
-            w.write_gamma(len(runs))
+            em.gamma(len(runs))
             for i, rl in enumerate(runs):
-                w.write_gamma(rl if i == 0 else rl - 1)
-            rest = succ[~_sorted_member(ref_list[member], succ)]
+                em.gamma(rl if i == 0 else rl - 1)
+            keep = np.ones(len(succ), dtype=bool)
+            keep[copied_pos] = False
+            rest = succ[keep]
         else:
             window.append((succ, 0))
             rest = succ
         extra = len(rest)
-        if extra > 0 and min_interval_length != 0:
+        if extra >= min_interval_length > 0:
             # split `rest` into consecutive runs ≥ min_interval_length
-            breaks = np.flatnonzero(np.diff(rest) != 1)
-            starts = np.concatenate([[0], breaks + 1])
-            ends = np.concatenate([breaks + 1, [len(rest)]])
+            # (skipped outright when rest is shorter than one interval —
+            # the γ(0) interval count is still due below)
+            breaks = np.flatnonzero(rest[1:] - rest[:-1] != 1)
+            starts = np.empty(len(breaks) + 1, dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = breaks + 1
+            ends = np.empty(len(breaks) + 1, dtype=np.int64)
+            ends[:-1] = breaks + 1
+            ends[-1] = len(rest)
             ivals = [
                 (int(rest[s]), int(e - s))
                 for s, e in zip(starts, ends)
                 if e - s >= min_interval_length
             ]
-            w.write_gamma(len(ivals))
+            em.gamma(len(ivals))
             prev = 0
             for i, (lft, ln) in enumerate(ivals):
                 if i == 0:
-                    w.write_gamma(int2nat(lft - x))
+                    em.gamma(int2nat(lft - x))
                 else:
-                    w.write_gamma(lft - prev - 1)
-                w.write_gamma(ln - min_interval_length)
+                    em.gamma(lft - prev - 1)
+                em.gamma(ln - min_interval_length)
                 prev = lft + ln
-            in_ival = np.zeros(len(rest), dtype=bool)
-            for s, e in zip(starts, ends):
-                if e - s >= min_interval_length:
-                    in_ival[s:e] = True
-            residuals = rest[~in_ival]
+            if ivals:
+                in_ival = np.zeros(len(rest), dtype=bool)
+                for s, e in zip(starts, ends):
+                    if e - s >= min_interval_length:
+                        in_ival[s:e] = True
+                residuals = rest[~in_ival]
+            else:
+                residuals = rest
         else:
+            if extra > 0 and min_interval_length != 0:
+                em.gamma(0)  # interval count for a too-short rest
             residuals = rest
         if len(residuals):
-            # first residual nat2int-relative to x, rest gap−1 — one
-            # vectorized ζ emission (the encoder's hot path)
+            # first residual nat2int-relative to x, rest gap−1
             gaps = np.empty(len(residuals), dtype=np.int64)
             gaps[0] = int2nat(int(residuals[0]) - x)
-            gaps[1:] = np.diff(residuals) - 1
-            w.write_zeta_array(gaps, zeta_k)
-    sync_recs += [n, ow.bit_count, prev_off]  # terminal record (entry n)
-    ow.write_gamma(w.bit_count - prev_off)  # final end-of-stream offset
-    w.finalize()
-    ow.finalize()
+            gaps[1:] = residuals[1:] - residuals[:-1] - 1
+            em.zeta_array(gaps)
+    em.finalize(n)
     f_graph.close()
     f_offs.close()
-    np.asarray(sync_recs, dtype=np.int64).tofile(basename + ".soffsets")
+    np.asarray(em.sync_recs, dtype=np.int64).tofile(basename + ".soffsets")
     with open(basename + ".properties", "w") as f:
         f.write(
             f"nodes={n}\narcs={arcs_total}\nwindowsize={window_size}\n"

@@ -268,6 +268,50 @@ def test_bitwriter_streaming_flush_equivalence(tmp_path):
     assert p.read_bytes() == big.getvalue()
 
 
+def test_encoder_flush_window_equivalence(tmp_path, monkeypatch):
+    """The cross-node op buffer must produce byte-identical output at any
+    flush cadence — a 4-op window forces flushes mid-graph at every node
+    boundary, a huge one buffers the whole graph (round 3: the emitter
+    computes node offsets + sync records per flush; boundary bookkeeping
+    errors would corrupt .offsets/.soffsets, not just .graph)."""
+    import ppagerank_ray.sources.bvgraph as bvg
+
+    rng = np.random.default_rng(11)
+    succ = []
+    for x in range(600):
+        deg = int(rng.integers(0, 12))
+        s = np.unique(rng.integers(0, 600, size=deg))
+        if x % 7 == 0 and deg > 0:
+            s = np.unique(np.concatenate([s, np.arange(40, 49)]))  # intervals
+        succ.append(s)
+    # tighten the sync spacing so multiple sync records land in-range
+    monkeypatch.setattr(bvg, "OFFSETS_SYNC", 128)
+
+    outs = {}
+    orig_init = bvg._EncodeEmitter.__init__
+    for name, flush_ops in [("huge", 1 << 30), ("tiny", 4)]:
+        base = str(tmp_path / name)
+        monkeypatch.setattr(
+            bvg._EncodeEmitter,
+            "__init__",
+            lambda self, fg, fo, zk, _fo=flush_ops: orig_init(
+                self, fg, fo, zk, flush_ops=_fo
+            ),
+        )
+        bvg.encode_bvgraph(succ, base)
+        outs[name] = {
+            ext: open(base + ext, "rb").read()
+            for ext in (".graph", ".offsets", ".soffsets")
+        }
+    assert outs["huge"] == outs["tiny"]
+    # and the tiny-flush output still decodes to the input
+    dst = np.concatenate(
+        [d for _, d in bvg.decode_bvgraph(str(tmp_path / "tiny"))]
+    )
+    flat = np.concatenate([s for s in succ if len(s)])
+    np.testing.assert_array_equal(dst, flat)
+
+
 def test_write_bvgraph_rejects_out_of_range_endpoints(tmp_path):
     """ADVICE round 2: src/dst ≥ n_vertices must raise, not silently write
     a graph whose .properties disagree with the caller's vertex count."""
