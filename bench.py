@@ -307,6 +307,36 @@ def run_scaling_phase(phase: str, ncpus: int) -> dict:
             best = dt if best is None else min(best, dt)
         out.update(arcs=n_arcs, sec=round(best, 3),
                    throughput=round(n_arcs / best))
+    elif phase == "bvgenc":
+        # parallel range ENCODE A/B (round 3): same edge set, encode
+        # fan-out at N vs 4N pinned cores through the Ray-task range
+        # writer (write_bvgraph_from_edges parallelism=ncpus).
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ppagerank_ray.sources import bvgraph as bvg
+
+        nodes = int(os.environ.get("PPR_BVG_NODES", "800000"))
+        rng = np.random.default_rng(42)
+        n_edges = nodes * 12
+        src = rng.integers(0, nodes, n_edges)
+        dst = (src + rng.integers(1, 1000, n_edges)) % nodes
+        edges = rd.from_arrow(
+            pa.table({"src": src, "dst": dst})
+        ).repartition(max(ncpus * 2, 8)).materialize()
+        best = None
+        info = {}
+        for _ in range(3):
+            t0 = time.perf_counter()
+            info = bvg.write_bvgraph_from_edges(
+                edges, nodes, f"/tmp/ppr_bvgenc_{ncpus}",
+                parallelism=ncpus,
+            )
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out.update(arcs=info["arcs"], sec=round(best, 3),
+                   throughput=round(info["arcs"] / best))
     else:  # minhash: compute-bound stateless Ray Data map
         import numpy as np
         import pyarrow as pa
@@ -388,7 +418,8 @@ def run_scaling() -> dict:
             "throughput_lo": blo["throughput"],
             "throughput_hi": bhi["throughput"],
             "unit": {"spmv": "edges/sec (p20 iter)",
-                     "bvgraph": "arcs/sec (decode)"}.get(p, "docs/sec"),
+                     "bvgraph": "arcs/sec (decode)",
+                     "bvgenc": "arcs/sec (encode)"}.get(p, "docs/sec"),
             "efficiency": eff,
         }
     # headline = the WORST phase (ADVICE r2: max() let one well-scaling

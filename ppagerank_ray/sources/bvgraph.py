@@ -713,11 +713,19 @@ class _EncodeEmitter:
     offsets gammas are emitted vectorized per flush and the sync records
     are computed from the same arrays — nothing per-node remains on the
     scalar path. Flushes happen only at node boundaries (`begin_node`),
-    so every buffered op belongs to a completed node."""
+    so every buffered op belongs to a completed node.
 
-    def __init__(self, f_graph, f_offs, zeta_k: int, flush_ops: int = 1 << 16):
+    `f_offs=None` (the parallel range-encode path) skips the sidecar
+    streams and instead collects raw per-node start bit-offsets in
+    `self.start_chunks` — the driver stitches ranges and emits the
+    offsets for the whole graph in one vectorized pass."""
+
+    def __init__(
+        self, f_graph, f_offs, zeta_k: int, flush_ops: int = 1 << 16
+    ):
         self.w = BitWriter(sink=f_graph)
-        self.ow = BitWriter(sink=f_offs)
+        self.ow = None if f_offs is None else BitWriter(sink=f_offs)
+        self.start_chunks: list[np.ndarray] = []
         self.zeta_k = zeta_k
         self.flush_ops = flush_ops
         self.types = bytearray()
@@ -792,19 +800,22 @@ class _EncodeEmitter:
         # node starts from the width prefix → offsets gammas + sync records
         op_prefix = np.cumsum(widths) - widths
         starts = self.graph_bits + op_prefix[np.array(self.node_first_op)]
-        gaps = np.diff(np.concatenate([[self.prev_start], starts]))
-        ids = np.array(self.node_ids, dtype=np.int64)
-        sync_idx = np.flatnonzero(ids % OFFSETS_SYNC == 0)
-        if len(sync_idx):
-            gwidths = 2 * (
-                np.frexp((gaps + 1).astype(np.float64))[1].astype(np.int64) - 1
-            ) + 1
-            ow_prefix = self.ow.bit_count + np.cumsum(gwidths) - gwidths
-            accs = np.concatenate([[self.prev_start], starts[:-1]])
-            for i in sync_idx:
-                self.sync_recs += [int(ids[i]), int(ow_prefix[i]), int(accs[i])]
-        self.ow.write_gamma_array(gaps)
-        self.prev_start = int(starts[-1])
+        if self.ow is None:
+            self.start_chunks.append(starts)
+        else:
+            gaps = np.diff(np.concatenate([[self.prev_start], starts]))
+            ids = np.array(self.node_ids, dtype=np.int64)
+            sync_idx = np.flatnonzero(ids % OFFSETS_SYNC == 0)
+            if len(sync_idx):
+                gwidths = _gamma_widths(gaps)
+                ow_prefix = self.ow.bit_count + np.cumsum(gwidths) - gwidths
+                accs = np.concatenate([[self.prev_start], starts[:-1]])
+                for i in sync_idx:
+                    self.sync_recs += [
+                        int(ids[i]), int(ow_prefix[i]), int(accs[i])
+                    ]
+            self.ow.write_gamma_array(gaps)
+            self.prev_start = int(starts[-1])
         self.graph_bits += int(widths.sum())
         self.types.clear()
         self.vals.clear()
@@ -815,10 +826,27 @@ class _EncodeEmitter:
         """Flush, then emit the terminal sync record + end-of-stream
         offsets entry (entry n = total bits − start(n−1))."""
         self._flush()
-        self.sync_recs += [n, self.ow.bit_count, self.prev_start]
-        self.ow.write_gamma(self.graph_bits - self.prev_start)
+        if self.ow is not None:
+            self.sync_recs += [n, self.ow.bit_count, self.prev_start]
+            self.ow.write_gamma(self.graph_bits - self.prev_start)
+            self.ow.finalize()
         self.w.finalize()
-        self.ow.finalize()
+
+    def node_starts(self) -> np.ndarray:
+        """Per-node start bit-offsets collected under f_offs=None, with
+        the end-of-stream bit count appended (n+1 entries)."""
+        assert self.ow is None
+        return np.concatenate(
+            self.start_chunks + [np.array([self.graph_bits], np.int64)]
+        )
+
+
+def _gamma_widths(vals: np.ndarray) -> np.ndarray:
+    """Bit width of γ(v) per element: 2·⌊log2(v+1)⌋ + 1 (frexp trick,
+    exact below 2^52)."""
+    return 2 * (
+        np.frexp((vals + 1).astype(np.float64))[1].astype(np.int64) - 1
+    ) + 1
 
 
 def encode_bvgraph(
@@ -841,18 +869,46 @@ def encode_bvgraph(
     searchsorted + segment reduceat per node, and all bit emission goes
     through the cross-node `_EncodeEmitter` — byte-identical output to
     the per-candidate/per-code scalar path it replaced, ~4× faster."""
-    from collections import deque
-
     f_graph = open(basename + ".graph", "wb")
     f_offs = open(basename + ".offsets", "wb")
     em = _EncodeEmitter(f_graph, f_offs, zeta_k)
+    n, arcs_total = _encode_nodes(
+        successors, em, window_size, max_ref_count, min_interval_length
+    )
+    em.finalize(n)
+    f_graph.close()
+    f_offs.close()
+    np.asarray(em.sync_recs, dtype=np.int64).tofile(basename + ".soffsets")
+    with open(basename + ".properties", "w") as f:
+        f.write(
+            f"nodes={n}\narcs={arcs_total}\nwindowsize={window_size}\n"
+            f"maxrefcount={max_ref_count}\n"
+            f"minintervallength={min_interval_length}\nzetak={zeta_k}\n"
+            "compressionflags=\n"
+        )
+
+
+def _encode_nodes(
+    successors,
+    em: _EncodeEmitter,
+    window_size: int,
+    max_ref_count: int,
+    min_interval_length: int,
+    first_node: int = 0,
+) -> tuple[int, int]:
+    """Encode an iterable of successor arrays into `em`, node ids
+    starting at `first_node` (the parallel range encoder's offset — node-
+    relative codes like the first interval left and the first residual
+    are relative to the ABSOLUTE node id). Returns (nodes, arcs)."""
+    from collections import deque
+
     n = 0
     arcs_total = 0
     # sliding window of the last window_size (list, copy-chain-length) pairs;
     # window[-rdist] is node x - rdist
     window: deque[tuple[np.ndarray, int]] = deque(maxlen=max(window_size, 1))
     for succ in successors:
-        x = n
+        x = first_node + n
         n += 1
         em.begin_node(x)
         succ = np.asarray(succ, dtype=np.int64)
@@ -955,34 +1011,171 @@ def encode_bvgraph(
             gaps[0] = int2nat(int(residuals[0]) - x)
             gaps[1:] = residuals[1:] - residuals[:-1] - 1
             em.zeta_array(gaps)
-    em.finalize(n)
-    f_graph.close()
-    f_offs.close()
-    np.asarray(em.sync_recs, dtype=np.int64).tofile(basename + ".soffsets")
-    with open(basename + ".properties", "w") as f:
-        f.write(
-            f"nodes={n}\narcs={arcs_total}\nwindowsize={window_size}\n"
-            f"maxrefcount={max_ref_count}\n"
-            f"minintervallength={min_interval_length}\nzetak={zeta_k}\n"
-            "compressionflags=\n"
+    return n, arcs_total
+
+
+def _append_bits(f, carry: int, carry_bits: int, data: bytes, nbits: int):
+    """Append `nbits` MSB-first bits (packed in `data`, final byte
+    zero-padded) to file `f`, given a pending partial byte of
+    `carry_bits` bits held in the MSBs of `carry`. Complete bytes are
+    written; the new partial byte is returned. One vectorized shift per
+    chunk — the bit-level stitch that joins the parallel range encoders'
+    independent (non-byte-aligned) streams."""
+    if nbits == 0:
+        return carry, carry_bits
+    arr = np.frombuffer(data, np.uint8)[: (nbits + 7) // 8].copy()
+    pad = (-nbits) % 8
+    if pad:
+        arr[-1] &= (0xFF << pad) & 0xFF
+    if carry_bits == 0:
+        full = nbits // 8
+        f.write(arr[:full].tobytes())
+        return (int(arr[full]), nbits % 8) if nbits % 8 else (0, 0)
+    r = carry_bits
+    merged = np.empty(len(arr) + 1, np.uint8)
+    merged[0] = carry | (arr[0] >> r)
+    merged[1:-1] = ((arr[:-1] << (8 - r)) & 0xFF) | (arr[1:] >> r)
+    merged[-1] = (arr[-1] << (8 - r)) & 0xFF
+    total = r + nbits
+    full = total // 8
+    f.write(merged[:full].tobytes())
+    rem = total % 8
+    return (int(merged[full]), rem) if rem else (0, 0)
+
+
+def _write_offsets_sidecars(basename: str, starts: np.ndarray) -> None:
+    """Emit `.offsets` (γ-coded gaps) + `.soffsets` (sync records) from
+    the (n+1,) absolute node-start bit offsets — fully vectorized, in
+    bounded chunks. Produces streams identical to the serial encoder's
+    for the same starts."""
+    n = len(starts) - 1
+    gaps = np.empty(n + 1, dtype=np.int64)
+    gaps[0] = starts[0]
+    gaps[1:] = starts[1:] - starts[:-1]
+    gw = _gamma_widths(gaps)
+    ow_prefix = np.concatenate([[0], np.cumsum(gw)])  # ow bits before entry i
+    xs = np.arange(0, n, OFFSETS_SYNC, dtype=np.int64)
+    recs = np.empty((len(xs) + 1, 3), dtype=np.int64)
+    recs[:-1, 0] = xs
+    recs[:-1, 1] = ow_prefix[xs]
+    recs[:-1, 2] = np.where(xs > 0, starts[np.maximum(xs, 1) - 1], 0)
+    recs[-1] = (n, ow_prefix[n], starts[n - 1] if n > 0 else 0)
+    recs.tofile(basename + ".soffsets")
+    with open(basename + ".offsets", "wb") as f:
+        ow = BitWriter(sink=f)
+        for i in range(0, n + 1, 1 << 20):
+            ow.write_gamma_array(gaps[i : i + (1 << 20)])
+        ow.finalize()
+
+
+def _successors_from_arrays(src: np.ndarray, dst: np.ndarray, x0: int, x1: int):
+    """Yield one sorted-distinct successor array per node in [x0, x1)
+    from (src, dst)-sorted arrays already filtered to src ∈ [x0, x1);
+    zero-outdegree nodes yield empty arrays."""
+    next_x = x0
+    if len(src):
+        bounds = np.empty(
+            len(np.flatnonzero(src[1:] != src[:-1])) + 2, dtype=np.int64
         )
+        bounds[0] = 0
+        bounds[1:-1] = np.flatnonzero(src[1:] != src[:-1]) + 1
+        bounds[-1] = len(src)
+        for si in range(len(bounds) - 1):
+            a0, a1 = int(bounds[si]), int(bounds[si + 1])
+            x = int(src[a0])
+            while next_x < x:
+                yield np.empty(0, np.int64)
+                next_x += 1
+            yield np.unique(dst[a0:a1])
+            next_x += 1
+    while next_x < x1:
+        yield np.empty(0, np.int64)
+        next_x += 1
+
+
+@ray.remote
+def _encode_range_remote(
+    block_refs: list,
+    x0: int,
+    x1: int,
+    n_vertices: int,
+    window_size: int,
+    max_ref_count: int,
+    min_interval_length: int,
+    zeta_k: int,
+):
+    """Encode nodes [x0, x1) from the sorted blocks overlapping the
+    range (rows filtered to the range — straddling blocks are shared
+    with the neighbor task). Fresh reference window at x0: a legal
+    BVGraph stream, marginally worse compression near the boundary.
+    Returns (packed graph bytes, bit length, per-node relative start
+    offsets incl. end, arcs)."""
+    tables = ray.get(list(block_refs))
+    srcs, dsts = [], []
+    for t in tables:
+        if t.num_rows == 0:
+            continue
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = (s >= x0) & (s < x1)
+        s, d = s[keep], d[keep]
+        if len(d) and (d.min() < 0 or d.max() >= n_vertices):
+            raise ValueError(
+                f"edge dst outside [0, {n_vertices}): "
+                f"[{d.min()}, {d.max()}]"
+            )
+        srcs.append(s)
+        dsts.append(d)
+    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    em = _EncodeEmitter(None, None, zeta_k)
+    n, arcs = _encode_nodes(
+        _successors_from_arrays(src, dst, x0, x1),
+        em,
+        window_size,
+        max_ref_count,
+        min_interval_length,
+        first_node=x0,
+    )
+    em.finalize(n)
+    return em.w.getvalue(), int(em.graph_bits), em.node_starts(), arcs
+
+
+# a parallel encode needs enough nodes per range to amortize task
+# dispatch and the boundary compression loss; below this the serial
+# root-writer is already sub-second
+PARALLEL_ENCODE_MIN_VERTICES = 1 << 20
 
 
 def write_bvgraph_from_edges(
     edges,
     n_vertices: int,
     basename: str,
+    parallelism: int | None = None,
     **encode_params,
 ) -> dict:
     """Root-WRITER sink: a (src, dst) edge Dataset → `<basename>.graph` +
     `.properties` — the engine can round-trip the reference's own input
-    format (the reference itself has no writer). Mirrors the root-reader
-    asymmetry: one global (src, dst) sort, then a GENERATOR walks the
-    sorted blocks in order and yields each node's distinct successor array
-    straight into the streaming window encoder — driver memory is O(block
-    + window), never O(V) or O(E). Duplicate arcs collapse via np.unique;
-    self-loops are kept (they are legal arcs in the format). Returns
-    {nodes, arcs}."""
+    format (the reference itself has no writer). One global (src, dst)
+    sort, then either:
+
+    * serial (parallelism ≤ 1): a GENERATOR walks the sorted blocks in
+      order and yields each node's distinct successor array straight
+      into the streaming window encoder — driver memory is O(block +
+      window), never O(V) or O(E);
+    * parallel (parallelism > 1, or auto above
+      PARALLEL_ENCODE_MIN_VERTICES): node-id ranges encode as
+      independent Ray tasks (fresh window per range — a legal stream,
+      slightly worse compression at range starts) and the driver
+      stitches the bit streams with one vectorized shift per range and
+      emits `.offsets`/`.soffsets` from the collected node starts. The
+      serial root-writer mirrors the reference's root-reader asymmetry
+      (petsc_util.cc:770-1063); the parallel path removes it the same
+      way the range decoder did.
+
+    Duplicate arcs collapse via np.unique; self-loops are kept (legal
+    arcs in the format). parallelism: None = auto, 0/1 = serial,
+    N = force N ranges. Returns {nodes, arcs}."""
     import ray
 
     from ppagerank_ray.graph.build import shuffle_blocks
@@ -993,6 +1186,17 @@ def write_bvgraph_from_edges(
         .sort(["src", "dst"])
     )
     refs = sorted_ds.to_arrow_refs()  # block metadata only
+
+    if parallelism is None:
+        parallelism = (
+            max(1, min(int(ray.cluster_resources().get("CPU", 4)), 32))
+            if n_vertices >= PARALLEL_ENCODE_MIN_VERTICES
+            else 1
+        )
+    if parallelism > 1:
+        return _write_bvgraph_parallel(
+            refs, n_vertices, basename, parallelism, **encode_params
+        )
 
     def successor_stream():
         next_x = 0  # next node id to yield
@@ -1046,3 +1250,105 @@ def write_bvgraph_from_edges(
     encode_bvgraph(successor_stream(), basename, **encode_params)
     props = read_properties(basename)
     return {"nodes": props["nodes"], "arcs": props["arcs"]}
+
+
+def _write_bvgraph_parallel(
+    refs: list,
+    n_vertices: int,
+    basename: str,
+    parallelism: int,
+    window_size: int = DEFAULT_WINDOW_SIZE,
+    max_ref_count: int = DEFAULT_MAX_REF_COUNT,
+    min_interval_length: int = DEFAULT_MIN_INTERVAL_LENGTH,
+    zeta_k: int = DEFAULT_ZETA_K,
+) -> dict:
+    """Parallel range encode over sorted block refs (see
+    write_bvgraph_from_edges). Node splits are balanced by edge count
+    using per-block (min_src, max_src, rows) probes; a block straddling
+    a split is handed to both neighbors, each filtering its own rows."""
+    import ray
+
+    @ray.remote
+    def _block_bounds(t):
+        if t.num_rows == 0:
+            return None
+        s = t["src"].to_numpy()
+        return int(s[0]), int(s[-1]), t.num_rows
+
+    infos = ray.get([_block_bounds.remote(r) for r in refs])
+    live = [(i, b) for i, b in enumerate(infos) if b is not None]
+    total_rows = sum(b[2] for _, b in live)
+    if live:
+        gmin = min(b[0] for _, b in live)
+        gmax = max(b[1] for _, b in live)
+        if gmin < 0 or gmax >= n_vertices:
+            raise ValueError(
+                f"edge src outside [0, {n_vertices}): [{gmin}, {gmax}]"
+            )
+    # node splits balanced by cumulative rows. Splits may fall INSIDE a
+    # block (tasks filter rows to their range anyway): the node id at a
+    # row quantile is estimated by linear interpolation across the
+    # block's [lo, hi] span — block-boundary-only splits left ranges up
+    # to 2× uneven when blocks are few relative to parallelism.
+    splits = [0]
+    if live and total_rows > 0:
+        cum = np.cumsum([b[2] for _, b in live])
+        for kq in range(1, parallelism):
+            tgt = kq * total_rows / parallelism
+            j = int(np.searchsorted(cum, tgt))
+            if j >= len(cum):
+                continue
+            lo, hi, rows = live[j][1]
+            frac = (tgt - (cum[j] - rows)) / rows
+            split = int(lo + frac * (hi + 1 - lo))
+            if splits[-1] < split < n_vertices:
+                splits.append(split)
+    splits.append(n_vertices)
+    ranges = [
+        (splits[i], splits[i + 1])
+        for i in range(len(splits) - 1)
+        if splits[i + 1] > splits[i]
+    ]
+    tasks = []
+    for x0, x1 in ranges:
+        sub = [
+            refs[i]
+            for i, (lo, hi, _rows) in live
+            if lo < x1 and hi >= x0
+        ]
+        tasks.append(
+            _encode_range_remote.remote(
+                sub,
+                x0,
+                x1,
+                n_vertices,
+                window_size,
+                max_ref_count,
+                min_interval_length,
+                zeta_k,
+            )
+        )
+    results = ray.get(tasks)
+    # stitch the bit streams; collect absolute node starts
+    arcs_total = 0
+    base = 0
+    carry, carry_bits = 0, 0
+    abs_starts = []
+    with open(basename + ".graph", "wb") as f:
+        for data, nbits, starts, arcs in results:
+            carry, carry_bits = _append_bits(f, carry, carry_bits, data, nbits)
+            abs_starts.append(base + starts[:-1])
+            base += nbits
+            arcs_total += arcs
+        if carry_bits:
+            f.write(bytes([carry]))
+    abs_starts.append(np.array([base], dtype=np.int64))
+    _write_offsets_sidecars(basename, np.concatenate(abs_starts))
+    with open(basename + ".properties", "w") as f:
+        f.write(
+            f"nodes={n_vertices}\narcs={arcs_total}\n"
+            f"windowsize={window_size}\nmaxrefcount={max_ref_count}\n"
+            f"minintervallength={min_interval_length}\nzetak={zeta_k}\n"
+            "compressionflags=\n"
+        )
+    return {"nodes": n_vertices, "arcs": arcs_total}

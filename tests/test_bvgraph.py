@@ -332,6 +332,65 @@ def test_write_bvgraph_rejects_out_of_range_endpoints(tmp_path):
         write_bvgraph_from_edges(edges2, 5, str(tmp_path / "bad2"))
 
 
+@pytest.mark.parametrize("parallelism", [2, 5])
+def test_parallel_write_matches_serial(tmp_path, parallelism):
+    """The parallel range WRITER (round 3) must produce a valid BVGraph
+    whose decode equals the serial writer's: web-like successors so
+    window references actually fire across (and are reset at) range
+    boundaries, duplicate arcs, zero-outdegree gaps, and trailing
+    isolated nodes. The stitched .offsets/.soffsets sidecars must also
+    drive the parallel range decoder correctly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ppagerank_ray.sources.bvgraph import (
+        read_bvgraph,
+        read_offsets,
+        write_bvgraph_from_edges,
+    )
+
+    rng = np.random.default_rng(13)
+    V = 3_000
+    srcs, dsts = [], []
+    for x in range(0, V - 200, 2):  # even nodes only → odd ones are gaps
+        deg = int(rng.integers(1, 15))
+        base = max(0, x - 60)
+        d = np.unique(rng.integers(base, min(V, base + 120), size=deg))
+        if x % 3 == 0 and x > 0:  # heavy overlap with a near predecessor
+            prev = dsts[-1]
+            d = np.unique(np.concatenate([d, prev[: len(prev) // 2 + 1]]))
+        srcs.append(np.full(len(d), x, dtype=np.int64))
+        dsts.append(d.astype(np.int64))
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    # duplicate arcs must collapse
+    src = np.concatenate([src, src[:50]])
+    dst = np.concatenate([dst, dst[:50]])
+    perm = rng.permutation(len(src))
+    edges = rd.from_arrow(pa.table({"src": src[perm], "dst": dst[perm]}))
+
+    i_ser = write_bvgraph_from_edges(edges, V, str(tmp_path / "ser"),
+                                     parallelism=1)
+    i_par = write_bvgraph_from_edges(edges, V, str(tmp_path / "par"),
+                                     parallelism=parallelism)
+    assert i_ser == i_par
+
+    def edge_table(base):
+        ds, M, N, nnz = read_bvgraph(base, parallelism=3)
+        t = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        return t, nnz
+
+    a, nnz_a = edge_table(str(tmp_path / "ser"))
+    b, nnz_b = edge_table(str(tmp_path / "par"))
+    assert nnz_a == nnz_b == i_ser["arcs"]
+    assert a.equals(b)
+    # the stitched offsets sidecar is self-consistent with the stream
+    offs = read_offsets(str(tmp_path / "par"), V)
+    assert len(offs) == V + 1 and (np.diff(offs) >= 0).all()
+    graph_bits = (tmp_path / "par.graph").stat().st_size * 8
+    assert graph_bits - 8 < offs[-1] <= graph_bits
+
+
 @pytest.mark.parametrize(
     "window,minint,zk,mrc",
     [(7, 3, 3, 3), (0, 2, 2, 3), (3, 4, 1, 1), (7, 0, 3, 5)],
