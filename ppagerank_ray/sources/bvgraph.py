@@ -677,7 +677,7 @@ def _runs_from_member(member: np.ndarray) -> list[int]:
     tail). One diff pass, no per-element loop."""
     if len(member) == 0:
         return []
-    change = np.flatnonzero(member[1:] != member[:-1])
+    change = (member[1:] != member[:-1]).nonzero()[0]
     edges = np.empty(len(change) + 2, dtype=np.int64)
     edges[0] = 0
     edges[1:-1] = change + 1
@@ -749,6 +749,13 @@ class _EncodeEmitter:
     def unary(self, v: int):
         self.types.append(_OP_UNARY)
         self.vals.append(v)
+
+    def gamma_list(self, vs: list[int]):
+        """Batch γ append — one buffer extend instead of per-scalar
+        calls (the runs/intervals sequences averaged ~4 gamma() calls
+        per node in the encode profile)."""
+        self.types.extend(b"\x00" * len(vs))
+        self.vals.extend(vs)
 
     def zeta_array(self, gaps: np.ndarray):
         self.types.extend(b"\x02" * len(gaps))
@@ -939,18 +946,21 @@ def _encode_nodes(
                     if len(cand_lists) > 1
                     else cand_lists[0]
                 )
-                pos = np.searchsorted(succ, allc)
-                pos_c = np.minimum(pos, len(succ) - 1)
-                member_all = (pos < len(succ)) & (succ[pos_c] == allc)
-                bounds = np.cumsum([len(c) for c in cand_lists])
-                gains = np.add.reduceat(
-                    member_all, np.concatenate([[0], bounds[:-1]])
-                )
-                bi = int(np.argmax(gains))
+                nsucc = len(succ)
+                pos = succ.searchsorted(allc)
+                pos_c = np.minimum(pos, nsucc - 1)
+                member_all = (pos < nsucc) & (succ[pos_c] == allc)
+                # segment offsets as a plain int list (reduceat accepts
+                # it) — np.cumsum-on-list paid an asarray per node
+                offs = [0]
+                for c in cand_lists[:-1]:
+                    offs.append(offs[-1] + len(c))
+                gains = np.add.reduceat(member_all, offs)
+                bi = int(gains.argmax())
                 if int(gains[bi]) > 0:
                     best_ref = rdists[bi]
-                    s1 = int(bounds[bi])
-                    s0 = s1 - len(cand_lists[bi])
+                    s0 = offs[bi]
+                    s1 = s0 + len(cand_lists[bi])
                     member = member_all[s0:s1]
                     copied_pos = pos[s0:s1][member]
             em.unary(best_ref)
@@ -958,10 +968,11 @@ def _encode_nodes(
             runs = _runs_from_member(member)
             ref_chain = window[-best_ref][1]
             window.append((succ, ref_chain + 1))
-            em.gamma(len(runs))
-            for i, rl in enumerate(runs):
-                em.gamma(rl if i == 0 else rl - 1)
-            keep = np.ones(len(succ), dtype=bool)
+            em.gamma_list(
+                [len(runs), *runs[:1], *(rl - 1 for rl in runs[1:])]
+            )
+            keep = np.empty(len(succ), dtype=bool)
+            keep.fill(True)
             keep[copied_pos] = False
             rest = succ[keep]
         else:
@@ -972,34 +983,33 @@ def _encode_nodes(
             # split `rest` into consecutive runs ≥ min_interval_length
             # (skipped outright when rest is shorter than one interval —
             # the γ(0) interval count is still due below)
-            breaks = np.flatnonzero(rest[1:] - rest[:-1] != 1)
+            breaks = (rest[1:] - rest[:-1] != 1).nonzero()[0]
             starts = np.empty(len(breaks) + 1, dtype=np.int64)
             starts[0] = 0
             starts[1:] = breaks + 1
             ends = np.empty(len(breaks) + 1, dtype=np.int64)
             ends[:-1] = breaks + 1
             ends[-1] = len(rest)
-            ivals = [
-                (int(rest[s]), int(e - s))
-                for s, e in zip(starts, ends)
-                if e - s >= min_interval_length
-            ]
-            em.gamma(len(ivals))
-            prev = 0
-            for i, (lft, ln) in enumerate(ivals):
-                if i == 0:
-                    em.gamma(int2nat(lft - x))
-                else:
-                    em.gamma(lft - prev - 1)
-                em.gamma(ln - min_interval_length)
-                prev = lft + ln
-            if ivals:
+            lens = ends - starts
+            sel = (lens >= min_interval_length).nonzero()[0]
+            if len(sel):
+                lefts = rest[starts[sel]].tolist()
+                lns = lens[sel].tolist()
+                iv_codes = [len(sel)]
+                prev = 0
+                for i, (lft, ln) in enumerate(zip(lefts, lns)):
+                    iv_codes.append(
+                        int2nat(lft - x) if i == 0 else lft - prev - 1
+                    )
+                    iv_codes.append(ln - min_interval_length)
+                    prev = lft + ln
+                em.gamma_list(iv_codes)
                 in_ival = np.zeros(len(rest), dtype=bool)
-                for s, e in zip(starts, ends):
-                    if e - s >= min_interval_length:
-                        in_ival[s:e] = True
+                for j in sel:
+                    in_ival[starts[j] : ends[j]] = True
                 residuals = rest[~in_ival]
             else:
+                em.gamma(0)
                 residuals = rest
         else:
             if extra > 0 and min_interval_length != 0:
