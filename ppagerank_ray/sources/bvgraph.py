@@ -76,6 +76,10 @@ CHUNK_EDGES = 1 << 18
 # would dominate outright)
 OFFSETS_SYNC = 8192
 
+# phase wall-times of the last _write_bvgraph_parallel call (bench
+# introspection only — not part of the writer's return contract)
+LAST_PARALLEL_TIMINGS: dict | None = None
+
 
 def read_properties(basename: str) -> dict:
     """Parse `<basename>.properties` (bvgraph_matrix.cc:28-66)."""
@@ -1080,23 +1084,31 @@ def _write_offsets_sidecars(basename: str, starts: np.ndarray) -> None:
 
 def _successors_from_arrays(src: np.ndarray, dst: np.ndarray, x0: int, x1: int):
     """Yield one sorted-distinct successor array per node in [x0, x1)
-    from (src, dst)-sorted arrays already filtered to src ∈ [x0, x1);
-    zero-outdegree nodes yield empty arrays."""
+    from (src, dst)-LEXSORTED arrays already filtered to src ∈ [x0, x1);
+    zero-outdegree nodes yield empty arrays. Duplicate arcs collapse in
+    ONE vectorized adjacent-dedup over the whole range (the global
+    (src, dst) sort makes duplicates adjacent) — no per-node np.unique."""
     next_x = x0
     if len(src):
-        bounds = np.empty(
-            len(np.flatnonzero(src[1:] != src[:-1])) + 2, dtype=np.int64
-        )
+        dup = np.empty(len(src), dtype=bool)
+        dup[0] = False
+        dup[1:] = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1])
+        if dup.any():
+            keep = ~dup
+            src, dst = src[keep], dst[keep]
+        change = (src[1:] != src[:-1]).nonzero()[0]
+        bounds = np.empty(len(change) + 2, dtype=np.int64)
         bounds[0] = 0
-        bounds[1:-1] = np.flatnonzero(src[1:] != src[:-1]) + 1
+        bounds[1:-1] = change + 1
         bounds[-1] = len(src)
-        for si in range(len(bounds) - 1):
-            a0, a1 = int(bounds[si]), int(bounds[si + 1])
-            x = int(src[a0])
+        firsts = src[bounds[:-1]].tolist()
+        blist = bounds.tolist()
+        for si in range(len(blist) - 1):
+            x = firsts[si]
             while next_x < x:
                 yield np.empty(0, np.int64)
                 next_x += 1
-            yield np.unique(dst[a0:a1])
+            yield dst[blist[si] : blist[si + 1]]
             next_x += 1
     while next_x < x1:
         yield np.empty(0, np.int64)
@@ -1275,8 +1287,16 @@ def _write_bvgraph_parallel(
     """Parallel range encode over sorted block refs (see
     write_bvgraph_from_edges). Node splits are balanced by edge count
     using per-block (min_src, max_src, rows) probes; a block straddling
-    a split is handed to both neighbors, each filtering its own rows."""
+    a split is handed to both neighbors, each filtering its own rows.
+
+    Phase wall-times land in module-global `LAST_PARALLEL_TIMINGS`
+    (probe/tasks/stitch/sidecars seconds) for bench introspection — the
+    return dict stays equal to the serial writer's."""
+    import time
+
     import ray
+
+    t_start = time.perf_counter()
 
     @ray.remote
     def _block_bounds(t):
@@ -1338,7 +1358,9 @@ def _write_bvgraph_parallel(
                 zeta_k,
             )
         )
+    t_probe = time.perf_counter()
     results = ray.get(tasks)
+    t_tasks = time.perf_counter()
     # stitch the bit streams; collect absolute node starts
     arcs_total = 0
     base = 0
@@ -1353,7 +1375,16 @@ def _write_bvgraph_parallel(
         if carry_bits:
             f.write(bytes([carry]))
     abs_starts.append(np.array([base], dtype=np.int64))
+    t_stitch = time.perf_counter()
     _write_offsets_sidecars(basename, np.concatenate(abs_starts))
+    global LAST_PARALLEL_TIMINGS
+    LAST_PARALLEL_TIMINGS = {
+        "probe_sec": round(t_probe - t_start, 3),
+        "tasks_sec": round(t_tasks - t_probe, 3),
+        "stitch_sec": round(t_stitch - t_tasks, 3),
+        "sidecars_sec": round(time.perf_counter() - t_stitch, 3),
+        "ranges": len(ranges),
+    }
     with open(basename + ".properties", "w") as f:
         f.write(
             f"nodes={n_vertices}\narcs={arcs_total}\n"
