@@ -30,6 +30,7 @@ PR_ITERS = 20  # fixed-iteration PageRank for the oracle comparison
 PR_PVEC_ITERS = 10
 CC_ITERS = 24  # min-label rounds unrolled in SQL (diameter ≪ 24 at sf≤0.1)
 LP_ITERS = 4
+KC_ITERS = 16  # h-index rounds unrolled in SQL (10 rounds at sf0.1; extra rounds are fixpoint no-ops)
 JACCARD_T = 0.7
 EMB_NEAR_T = 0.4
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -326,6 +327,78 @@ def _q_component_sizes(sf_dir: str):
     return pa.Table.from_pydict({"component": uniq, "n_vertices": cnt.astype(np.int64)})
 
 
+def _q_kcore(sf_dir: str):
+    """Per-vertex core numbers via the engine's h-index iteration
+    (algos/kcore.py); SQL oracle unrolls the same iteration."""
+    from ppagerank_ray.algos.kcore import kcore_decomposition
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    kcore_decomposition(eng)
+    core = eng.to_array("core", integer=True)
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "core": core}
+    )
+
+
+def _q_degree_distribution(sf_dir: str):
+    """Outdegree histogram over all vertices (dangling bucket at 0) —
+    the canonical link-graph shape diagnostic. Histogram over the
+    already-materialized per-vertex query result (≤ max-degree rows)."""
+    t = _q_outdegree(sf_dir)
+    uniq, cnt = np.unique(t["outdeg"].to_numpy(), return_counts=True)
+    return pa.Table.from_pydict(
+        {"outdeg": uniq.astype(np.int64), "n_vertices": cnt.astype(np.int64)}
+    )
+
+
+def _q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity r = |E ∩ Eᵀ| / |E| as ONE combiner-
+    backed groupby: edge (s,d) emits key s·V+d with bit 1 and key d·V+s
+    with bit 2; a key summing to 3 has both the edge and its reverse.
+    Edges are distinct so each bit appears at most once per key — no
+    O(E) driver state, scales as a standard pre-aggregated shuffle."""
+    gt = _graph(sf_dir)
+    V = np.int64(gt.n_vertices)
+
+    def to_keys(tb: pa.Table) -> pa.Table:
+        s = tb["src"].to_numpy()
+        d = tb["dst"].to_numpy()
+        keys = np.concatenate([s * V + d, d * V + s])
+        bits = np.empty(2 * len(s), np.int64)
+        bits[: len(s)] = 1
+        bits[len(s) :] = 2
+        # partial combine inside the batch before the shuffle
+        order = np.argsort(keys, kind="stable")
+        k_s, b_s = keys[order], bits[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(k_s)) + 1])
+        return pa.Table.from_pydict(
+            {"key": k_s[starts], "bit": np.add.reduceat(b_s, starts)}
+        )
+
+    def count_recip(tb: pa.Table) -> pa.Table:
+        n = int((tb["sum(bit)"].to_numpy() == 3).sum())
+        return pa.Table.from_pydict({"c": np.array([n], np.int64)})
+
+    n_recip = int(
+        gt.edges.select_columns(["src", "dst"])
+        .map_batches(to_keys, batch_format="pyarrow", batch_size=262144)
+        .groupby("key")
+        .sum("bit")
+        .map_batches(count_recip, batch_format="pyarrow")
+        .sum("c")
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_reciprocal": pa.array([n_recip], pa.int64()),
+            "n_edges": pa.array([gt.n_edges], pa.int64()),
+            "reciprocity": pa.array(
+                [round(n_recip / gt.n_edges, 6)], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_label_propagation(sf_dir: str):
     from ppagerank_ray.algos.components import label_propagation
 
@@ -580,6 +653,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangles,
+        "kcore": _q_kcore,
+        "degree_distribution": _q_degree_distribution,
+        "reciprocity": _q_reciprocity,
         # convergence-driven variants (rows-only; pytest owns conformance)
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
@@ -746,6 +822,39 @@ def _cc_sql(iters: int) -> str:
 )"""
         )
     return "WITH " + "".join(parts) + f"\nSELECT id, lab AS component FROM cc{iters}"
+
+
+def _kcore_sql(iters: int) -> str:
+    """h-index iteration unrolled (algos/kcore.py semantics): init with
+    undirected degree, then core ← min(core, h-index of neighbor cores).
+    The RANGE window counts neighbors with value ≥ current (ties
+    included), so least(val, cge) maxed per vertex is the h-index."""
+    parts = [
+        _GRAPH_CTES,
+        """, kc0 AS MATERIALIZED (
+  SELECT v.id, coalesce(d.c, 0)::BIGINT AS core
+  FROM verts v LEFT JOIN
+    (SELECT src, count(*)::BIGINT AS c FROM undb GROUP BY src) d
+    ON v.id = d.src
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", kc{t} AS MATERIALIZED (
+  SELECT v.id, least(c.core, coalesce(h.h, c.core)) AS core
+  FROM verts v JOIN kc{t-1} c ON v.id = c.id
+  LEFT JOIN (
+    SELECT dst AS id, max(least(val, cge)) AS h FROM (
+      SELECT u.dst, k2.core AS val,
+             count(*) OVER (PARTITION BY u.dst ORDER BY k2.core DESC
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cge
+      FROM undb u JOIN kc{t-1} k2 ON u.src = k2.id
+    ) GROUP BY dst
+  ) h ON v.id = h.id
+)"""
+        )
+    return "WITH " + "".join(parts) + f"\nSELECT id, core FROM kc{iters}"
 
 
 def _lp_sql(iters: int) -> str:
@@ -939,6 +1048,16 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
             f"SELECT lab AS component, count(*)::BIGINT AS n_vertices FROM cc{CC_ITERS} GROUP BY lab",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
+        "kcore": _kcore_sql(KC_ITERS),
+        "degree_distribution": f"""WITH {_GRAPH_CTES}
+SELECT outdeg, count(*)::BIGINT AS n_vertices FROM outdeg_all GROUP BY outdeg""",
+        "reciprocity": f"""WITH {_GRAPH_CTES},
+recip AS (SELECT count(*)::BIGINT AS c
+          FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src)
+SELECT (SELECT c FROM recip) AS n_reciprocal,
+       (SELECT count(*)::BIGINT FROM edges) AS n_edges,
+       round((SELECT c FROM recip)::DOUBLE /
+             (SELECT count(*) FROM edges), 6) AS reciprocity""",
         "runscript": " UNION ALL ".join(
             f"""SELECT * FROM (
   SELECT {r}::BIGINT AS run, 'power' AS alg, {a} AS alpha,

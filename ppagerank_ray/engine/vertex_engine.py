@@ -446,6 +446,91 @@ class _VertexWorker:
         self.ivecs["label"] = new
         return changed, new
 
+    # ---------- k-core decomposition (h-index iteration) ----------
+
+    @staticmethod
+    def _resolve_refs(refs: list) -> list:
+        """Materialize any ObjectRefs among the cross-worker partials."""
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        return refs
+
+    def kcore_deg_partials(self):
+        """Per destination partition: (uniq_local_dst, count) — summable
+        undirected-degree partials (the h-index iteration's init). Run
+        lengths fall out of the preloaded u_runs structure."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            lens = np.diff(np.concatenate([starts, [b - a]]))
+            out.append((uniq_local, lens.astype(np.int64)))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def kcore_init_reduce(self, refs: list):
+        """core := summed undirected degree of owned vertices."""
+        core = np.zeros(self.size, np.int64)
+        idx_all, val_all = [], []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                idx_all.append(pair[0])
+                val_all.append(pair[1])
+        if idx_all:
+            idx = np.concatenate(idx_all)
+            val = np.concatenate(val_all)
+            order = np.argsort(idx, kind="stable")
+            idx_s, val_s = idx[order], val[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+            core[idx_s[starts]] = np.add.reduceat(val_s, starts)
+        self.ivecs["core"] = core
+
+    def kcore_reduce(self, refs: list, n_vertices: int):
+        """core(v) ← min(core(v), h-index of the incoming (value, count)
+        histogram), h = max over values v of min(v, #neighbors with
+        value ≥ v). Partials arrive lp_partials-keyed (local_dst·V +
+        value, count) and are summable across workers. Returns
+        (n_changed, slice)."""
+        core = self.ivecs["core"]
+        keys_all, cnt_all = [], []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                keys_all.append(pair[0])
+                cnt_all.append(pair[1])
+        if not keys_all:
+            return 0, core
+        keys = np.concatenate(keys_all)
+        cnts = np.concatenate(cnt_all)
+        order = np.argsort(keys, kind="stable")
+        k_s, c_s = keys[order], cnts[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(k_s)) + 1])
+        uk = k_s[starts]
+        uc = np.add.reduceat(c_s, starts)
+        V = np.int64(n_vertices)
+        dsts = uk // V
+        vals = uk % V  # ascending within each dst segment
+        seg_first = np.concatenate([[0], np.flatnonzero(np.diff(dsts)) + 1])
+        seg_len = np.diff(np.concatenate([seg_first, [len(uk)]]))
+        cum = np.cumsum(uc)
+        seg_last = np.concatenate([seg_first[1:], [len(uk)]]) - 1
+        # suffix count within segment: #neighbors with value ≥ vals[j]
+        suffix = np.repeat(cum[seg_last], seg_len) - (cum - uc)
+        h = np.maximum.reduceat(np.minimum(vals, suffix), seg_first)
+        uniq_dst = dsts[seg_first]
+        new = core.copy()
+        new[uniq_dst] = np.minimum(new[uniq_dst], h)
+        changed = int((new < core).sum())
+        self.ivecs["core"] = new
+        return changed, new
+
     # ---------- results / checkpoint ----------
 
     def partition_stats(self) -> dict:
