@@ -31,6 +31,8 @@ PR_PVEC_ITERS = 10
 CC_ITERS = 24  # min-label rounds unrolled in SQL (diameter ≪ 24 at sf≤0.1)
 LP_ITERS = 4
 KC_ITERS = 16  # h-index rounds unrolled in SQL (10 rounds at sf0.1; extra rounds are fixpoint no-ops)
+BFS_SEED = 0
+BFS_ITERS = 24  # min-plus rounds unrolled in SQL (≥ eccentricity(seed) at sf≤0.1; extra rounds are no-ops)
 JACCARD_T = 0.7
 EMB_NEAR_T = 0.4
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -399,6 +401,45 @@ def _q_reciprocity(sf_dir: str):
     )
 
 
+def _q_bfs_distance(sf_dir: str):
+    """Hop distance from seed 0 over the undirected graph (algos/
+    structure.py min-plus fixpoint); unreachable → -1. SQL oracle
+    unrolls the same min-plus iteration."""
+    from ppagerank_ray.algos.structure import bfs_distances
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    info = bfs_distances(eng, [BFS_SEED])
+    dist = eng.to_array("dist", integer=True)
+    eng.shutdown()
+    dist = np.where(dist >= info["sentinel"], np.int64(-1), dist)
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "dist": dist}
+    )
+
+
+def _q_assortativity(sf_dir: str):
+    """Newman degree assortativity + global transitivity (3·triangles /
+    wedges) — one-row structural summary of the link graph."""
+    from ppagerank_ray.algos.structure import degree_assortativity, wedge_count
+    from ppagerank_ray.algos.triangles import triangle_count
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    r = degree_assortativity(eng)
+    wedges = wedge_count(eng)
+    eng.shutdown()
+    tri = triangle_count(gt.edges, gt.n_vertices)
+    return pa.Table.from_pydict(
+        {
+            "assortativity": pa.array([round(float(r), 6)], pa.float64()),
+            "n_wedges": pa.array([wedges], pa.int64()),
+            "n_triangles": pa.array([tri], pa.int64()),
+            "transitivity": pa.array(
+                [round(3.0 * tri / wedges, 6) if wedges else None], pa.float64()
+            ),
+        }
+    )
+
+
 def _q_label_propagation(sf_dir: str):
     from ppagerank_ray.algos.components import label_propagation
 
@@ -656,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "degree_distribution": _q_degree_distribution,
         "reciprocity": _q_reciprocity,
+        "bfs_distance": _q_bfs_distance,
+        "assortativity": _q_assortativity,
         # convergence-driven variants (rows-only; pytest owns conformance)
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
@@ -857,6 +900,34 @@ def _kcore_sql(iters: int) -> str:
     return "WITH " + "".join(parts) + f"\nSELECT id, core FROM kc{iters}"
 
 
+def _bfs_sql(iters: int, seed: int) -> str:
+    """Min-plus BFS unrolled (algos/structure.py semantics): init 0 at
+    the seed, INF elsewhere; d ← min(d, 1 + min incoming d); INF → -1."""
+    inf = 1 << 40
+    parts = [
+        _GRAPH_CTES,
+        f""", bf0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = {seed} THEN 0 ELSE {inf} END::BIGINT AS d FROM verts
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", bf{t} AS MATERIALIZED (
+  SELECT v.id, least(c.d, coalesce(h.m + 1, c.d)) AS d
+  FROM verts v JOIN bf{t-1} c ON v.id = c.id
+  LEFT JOIN (
+    SELECT u.dst AS id, min(k.d) AS m
+    FROM undb u JOIN bf{t-1} k ON u.src = k.id GROUP BY u.dst
+  ) h ON v.id = h.id
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT id, CASE WHEN d >= {inf} THEN -1 ELSE d END AS dist FROM bf{iters}"
+    )
+
+
 def _lp_sql(iters: int) -> str:
     parts = [_GRAPH_CTES, ", lp0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
     for t in range(1, iters + 1):
@@ -1049,6 +1120,17 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "kcore": _kcore_sql(KC_ITERS),
+        "bfs_distance": _bfs_sql(BFS_ITERS, BFS_SEED),
+        "assortativity": f"""WITH {_GRAPH_CTES},
+udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src),
+tri AS (SELECT count(*)::BIGINT AS t
+        FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+wedges AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS w FROM udeg)
+SELECT round(corr(ds.c, dd.c), 6) AS assortativity,
+       (SELECT w FROM wedges) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6) AS transitivity
+FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
         "degree_distribution": f"""WITH {_GRAPH_CTES}
 SELECT outdeg, count(*)::BIGINT AS n_vertices FROM outdeg_all GROUP BY outdeg""",
         "reciprocity": f"""WITH {_GRAPH_CTES},

@@ -1,0 +1,124 @@
+"""Structural link-graph analytics over the undirected edge Dataset:
+BFS hop distance, degree assortativity, global transitivity.
+
+Engine-only algorithms (no reference implementation — the SURVEY §2.9
+family next to connected components / k-core): each is a bulk-synchronous
+neighborhood aggregate expressed through the engine's combiner-before-
+shuffle partials, so the skew handling the north rule requires applies
+unchanged.
+
+* BFS hop distance: min-plus fixpoint dist(v) ← min(dist(v),
+  1 + min over undirected neighbors u of dist(u)), init 0 at the seeds,
+  sentinel elsewhere. Converges in eccentricity(seeds)+1 rounds; exact
+  integer arithmetic; the per-round shuffle reuses cc_partials verbatim
+  (per-destination-partition min of the gathered vector).
+* Degree assortativity: Pearson correlation of (deg(u), deg(v)) over the
+  double-direction distinct undirected edge list — the standard
+  Newman r (M. E. J. Newman, "Assortative mixing in networks", PRL 89,
+  208701, 2002). One degree-build round plus ONE moment-partial round;
+  the driver sees only 6 floats per partition.
+
+Requires engine.load_undirected(build_undirected(edges)) first.
+Validated against networkx (shortest_path_length /
+degree_assortativity_coefficient) in tests and DuckDB SQL oracles in the
+driver harness.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import ray
+
+from ppagerank_ray.engine.vertex_engine import VertexEngine
+
+
+def undirected_degrees(engine: VertexEngine, name: str = "deg") -> None:
+    """ivec[name] := distinct-neighbor undirected degree, via one
+    summable-count partial round (kcore's init kernel)."""
+    partial_mat = [
+        w.kcore_deg_partials.options(num_returns=engine.P).remote()
+        for w in engine.workers
+    ]
+    if engine.P == 1:
+        partial_mat = [[m] for m in partial_mat]
+    ray.get(
+        [
+            engine.workers[q].kcore_init_reduce.remote(
+                [partial_mat[p][q] for p in range(engine.P)], name
+            )
+            for q in range(engine.P)
+        ]
+    )
+
+
+def bfs_distances(
+    engine: VertexEngine, seeds, max_rounds: int = 10_000
+) -> dict:
+    """Exact hop distances from `seeds` (iterable of vertex ids) in ivec
+    'dist'; unreachable vertices hold the sentinel engine.V (callers map
+    it to -1 for presentation). engine.to_array('dist', integer=True)
+    collects the result."""
+    seeds = np.asarray(list(seeds), np.int64)
+    sentinel = int(engine.V)
+    ray.get([w.bfs_init.remote(seeds, sentinel) for w in engine.workers])
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        dist_refs = [w.get_islice.remote("dist") for w in engine.workers]
+        gargs = engine._gather_args(dist_refs, engine.u_spans)
+        partial_mat = [
+            w.cc_partials.options(num_returns=engine.P).remote(refs, base)
+            for w, (refs, base) in zip(engine.workers, gargs)
+        ]
+        if engine.P == 1:
+            partial_mat = [[m] for m in partial_mat]
+        red = [
+            engine.workers[q].bfs_reduce.options(num_returns=2).remote(
+                [partial_mat[p][q] for p in range(engine.P)]
+            )
+            for q in range(engine.P)
+        ]
+        changed = int(np.sum(ray.get([r[0] for r in red])))
+        if changed == 0:
+            break
+    return {"algorithm": "bfs", "rounds": rounds, "sentinel": sentinel}
+
+
+def degree_assortativity(engine: VertexEngine) -> float:
+    """Newman degree assortativity r over the loaded undirected graph;
+    NaN when undefined (no edges, or zero degree variance)."""
+    undirected_degrees(engine, "deg")
+    deg_refs = [w.get_islice.remote("deg") for w in engine.workers]
+    gargs = engine._gather_args(deg_refs, engine.u_spans)
+    partial_mat = [
+        w.degree_moment_partials.options(num_returns=engine.P).remote(refs, base)
+        for w, (refs, base) in zip(engine.workers, gargs)
+    ]
+    if engine.P == 1:
+        partial_mat = [[m] for m in partial_mat]
+    sums = ray.get(
+        [
+            engine.workers[q].assort_reduce.remote(
+                [partial_mat[p][q] for p in range(engine.P)]
+            )
+            for q in range(engine.P)
+        ]
+    )
+    m, sx, sx2, sy, sy2, sxy = (float(sum(t[i] for t in sums)) for i in range(6))
+    if m == 0.0:
+        return float("nan")
+    cov = sxy / m - (sx / m) * (sy / m)
+    vx = sx2 / m - (sx / m) ** 2
+    vy = sy2 / m - (sy / m) ** 2
+    if vx <= 0.0 or vy <= 0.0:
+        return float("nan")
+    return cov / math.sqrt(vx * vy)
+
+
+def wedge_count(engine: VertexEngine) -> int:
+    """Number of connected triples Σ_v C(deg(v), 2) — the transitivity
+    denominator. One degree-build round; the sum folds per partition."""
+    undirected_degrees(engine, "deg")
+    parts = ray.get([w.wedge_sum.remote() for w in engine.workers])
+    return int(sum(parts))

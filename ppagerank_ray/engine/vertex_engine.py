@@ -476,8 +476,8 @@ class _VertexWorker:
             out.append((uniq_local, lens.astype(np.int64)))
         return out[0] if self.P == 1 else tuple(out)
 
-    def kcore_init_reduce(self, refs: list):
-        """core := summed undirected degree of owned vertices."""
+    def kcore_init_reduce(self, refs: list, name: str = "core"):
+        """ivec[name] := summed undirected degree of owned vertices."""
         core = np.zeros(self.size, np.int64)
         idx_all, val_all = [], []
         for pair in self._resolve_refs(refs):
@@ -491,7 +491,7 @@ class _VertexWorker:
             idx_s, val_s = idx[order], val[order]
             starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
             core[idx_s[starts]] = np.add.reduceat(val_s, starts)
-        self.ivecs["core"] = core
+        self.ivecs[name] = core
 
     def kcore_reduce(self, refs: list, n_vertices: int):
         """core(v) ← min(core(v), h-index of the incoming (value, count)
@@ -530,6 +530,92 @@ class _VertexWorker:
         changed = int((new < core).sum())
         self.ivecs["core"] = new
         return changed, new
+
+    # ---------- BFS hop distance (min-plus; partials via cc_partials) ----------
+
+    def bfs_init(self, seeds: np.ndarray, sentinel: int):
+        """dist := 0 at owned seeds, sentinel (≥ any reachable hop count)
+        elsewhere. sentinel+1 still exceeds sentinel-capped mins, so the
+        plain min-plus update below never promotes an unreached vertex."""
+        dist = np.full(self.size, sentinel, np.int64)
+        seeds = np.asarray(seeds, np.int64)
+        local = seeds[(seeds >= self.vlo) & (seeds < self.vhi)] - self.vlo
+        dist[local] = 0
+        self.ivecs["dist"] = dist
+
+    def bfs_reduce(self, refs: list):
+        """dist(v) ← min(dist(v), 1 + min incoming dist). Partials are
+        cc_partials' (uniq_local_dst, min) pairs over the gathered dist
+        vector. Returns (n_changed, slice)."""
+        dist = self.ivecs["dist"]
+        idx_all, val_all = [], []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                idx_all.append(pair[0])
+                val_all.append(pair[1])
+        if not idx_all:
+            return 0, dist
+        idx = np.concatenate(idx_all)
+        val = np.concatenate(val_all)
+        order = np.argsort(idx, kind="stable")
+        idx_s, val_s = idx[order], val[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+        uniq = idx_s[starts]
+        mins = np.minimum.reduceat(val_s, starts) + 1
+        new = dist.copy()
+        new[uniq] = np.minimum(new[uniq], mins)
+        changed = int((new < dist).sum())
+        self.ivecs["dist"] = new
+        return changed, new
+
+    # ---------- degree assortativity (edge-moment partials) ----------
+
+    def degree_moment_partials(self, deg_parts: list, base_lo: int):
+        """Per destination partition: (uniq_local_dst, Σ deg[src],
+        Σ deg[src]², edge count) over undirected edges — summable
+        moments, float64 so web-scale deg² sums cannot overflow."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        deg_full, base = self._gather(deg_parts, base_lo, self.u_span)
+        vals = deg_full[self.u_src - base].astype(np.float64)
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            seg = vals[a:b]
+            s1 = np.add.reduceat(seg, starts)
+            s2 = np.add.reduceat(seg * seg, starts)
+            cnt = np.diff(np.concatenate([starts, [b - a]]))
+            out.append((uniq_local, s1, s2, cnt.astype(np.int64)))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def assort_reduce(self, refs: list):
+        """Fold incoming per-dst moment partials against the locally-owned
+        dst degrees: returns the 6 global-summable Pearson terms
+        (m, Σdx, Σdx², Σdy, Σdy², Σdx·dy) for this partition."""
+        deg = self.ivecs["deg"].astype(np.float64)
+        m = sx = sx2 = sy = sy2 = sxy = 0.0
+        for part in self._resolve_refs(refs):
+            if part is None:
+                continue
+            uniq, s1, s2, cnt = part
+            dv = deg[uniq]
+            cf = cnt.astype(np.float64)
+            m += float(cf.sum())
+            sx += float(s1.sum())
+            sx2 += float(s2.sum())
+            sy += float(dv @ cf)
+            sy2 += float((dv * dv) @ cf)
+            sxy += float(dv @ s1)
+        return m, sx, sx2, sy, sy2, sxy
+
+    def wedge_sum(self) -> int:
+        """Σ over owned vertices of C(deg, 2) — transitivity denominator."""
+        deg = self.ivecs["deg"]
+        return int((deg * (deg - 1) // 2).sum())
 
     # ---------- results / checkpoint ----------
 

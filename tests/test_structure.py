@@ -1,0 +1,146 @@
+"""BFS hop distance, degree assortativity, transitivity — exact-match
+tests vs networkx (SURVEY.md §2.9 engine-only algorithm family)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from ppagerank_ray.algos.structure import (
+    bfs_distances,
+    degree_assortativity,
+    wedge_count,
+)
+from ppagerank_ray.algos.triangles import triangle_count
+from ppagerank_ray.engine.vertex_engine import VertexEngine
+from ppagerank_ray.graph.build import build_graph, build_undirected
+from ppagerank_ray.sources.pages import synth_pages
+
+nx = pytest.importorskip("networkx")
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {"src": np.asarray(src, np.int64), "dst": np.asarray(dst, np.int64)}
+        )
+    )
+
+
+def _engine(src, dst, n, P) -> VertexEngine:
+    engine = VertexEngine(n, P)
+    engine.load_undirected(build_undirected(_edges_ds(src, dst)))
+    return engine
+
+
+def _nx_graph(src, dst, n):
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from((int(a), int(b)) for a, b in zip(src, dst) if a != b)
+    return g
+
+
+def _nx_bfs(g, seeds, n) -> np.ndarray:
+    dist = np.full(n, -1, np.int64)
+    for v, d in nx.multi_source_dijkstra_path_length(g, seeds, weight=None).items():
+        dist[v] = int(d)
+    return dist
+
+
+def test_bfs_hand_graph():
+    # path 0-1-2-3, isolated 4: dist from 0 = [0,1,2,3,-1]
+    eng = _engine([0, 1, 2], [1, 2, 3], 5, 2)
+    info = bfs_distances(eng, [0])
+    dist = eng.to_array("dist", integer=True)
+    eng.shutdown()
+    dist = np.where(dist >= info["sentinel"], -1, dist)
+    assert dist.tolist() == [0, 1, 2, 3, -1]
+    assert info["rounds"] == 4  # 3 promoting rounds + 1 fixpoint check
+
+
+def test_bfs_multi_seed():
+    # two seeds at the ends of a path meet in the middle
+    n = 9
+    eng = _engine(np.arange(n - 1), np.arange(1, n), n, 3)
+    info = bfs_distances(eng, [0, n - 1])
+    dist = eng.to_array("dist", integer=True)
+    eng.shutdown()
+    expect = np.minimum(np.arange(n), np.arange(n)[::-1])
+    np.testing.assert_array_equal(dist, expect)
+    assert info["rounds"] <= 6
+
+
+@pytest.mark.parametrize("P", [1, 2, 4])
+def test_bfs_random_matches_networkx(P):
+    rng = np.random.default_rng(11 + P)
+    n, m = 300, 900
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    eng = _engine(src, dst, n, P)
+    info = bfs_distances(eng, [0])
+    dist = eng.to_array("dist", integer=True)
+    eng.shutdown()
+    dist = np.where(dist >= info["sentinel"], -1, dist)
+    np.testing.assert_array_equal(dist, _nx_bfs(_nx_graph(src, dst, n), [0], n))
+
+
+@pytest.mark.parametrize("P", [1, 2, 4])
+def test_assortativity_random_matches_networkx(P):
+    rng = np.random.default_rng(23 + P)
+    n, m = 250, 800
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    eng = _engine(src, dst, n, P)
+    r = degree_assortativity(eng)
+    eng.shutdown()
+    g = _nx_graph(src, dst, n)
+    assert abs(r - nx.degree_assortativity_coefficient(g)) < 1e-10
+
+
+def test_assortativity_star_is_perfectly_disassortative():
+    # star K1,5: every edge joins deg 5 to deg 1 → r = -1
+    eng = _engine([0] * 5, [1, 2, 3, 4, 5], 6, 2)
+    r = degree_assortativity(eng)
+    eng.shutdown()
+    assert abs(r - (-1.0)) < 1e-12
+
+
+def test_assortativity_regular_graph_nan():
+    # cycle: zero degree variance → undefined
+    n = 6
+    eng = _engine(np.arange(n), (np.arange(n) + 1) % n, n, 2)
+    r = degree_assortativity(eng)
+    eng.shutdown()
+    assert np.isnan(r)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_transitivity_matches_networkx(P):
+    rng = np.random.default_rng(5 + P)
+    n, m = 120, 500
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    eng = _engine(src, dst, n, P)
+    wedges = wedge_count(eng)
+    eng.shutdown()
+    tri = triangle_count(_edges_ds(src, dst), n)
+    g = _nx_graph(src, dst, n)
+    assert wedges == sum(d * (d - 1) // 2 for _, d in g.degree())
+    t = 3.0 * tri / wedges
+    assert abs(t - nx.transitivity(g)) < 1e-12
+
+
+def test_structure_sf_tiny_matches_networkx(sf_tiny):
+    gt = build_graph(synth_pages(sf_tiny))
+    et = gt.edges.to_pandas()
+    src, dst = et["src"].to_numpy(), et["dst"].to_numpy()
+    g = _nx_graph(src, dst, gt.n_vertices)
+    engine = VertexEngine(gt.n_vertices, 4)
+    engine.load_undirected(build_undirected(gt.edges))
+    info = bfs_distances(engine, [0])
+    dist = engine.to_array("dist", integer=True)
+    dist = np.where(dist >= info["sentinel"], -1, dist)
+    r = degree_assortativity(engine)
+    engine.shutdown()
+    np.testing.assert_array_equal(dist, _nx_bfs(g, [0], gt.n_vertices))
+    assert abs(r - nx.degree_assortativity_coefficient(g)) < 1e-10
