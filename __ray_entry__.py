@@ -440,6 +440,29 @@ def _q_assortativity(sf_dir: str):
     )
 
 
+def _q_host_edges(sf_dir: str):
+    """Host-level link graph: page edges collapsed to weighted
+    (src_host, dst_host, n_edges) — graph/hosts.py, gated broadcast /
+    hash-join mapping like the url→id join."""
+    from ppagerank_ray.graph.hosts import host_edges
+
+    return host_edges(_graph(sf_dir))
+
+
+def _q_pagerank_by_host(sf_dir: str):
+    """PageRank mass aggregated per host: fixed PR_ITERS power iteration
+    then Σ score by the vertex's url host."""
+    from ppagerank_ray.algos.pagerank import power_iteration
+    from ppagerank_ray.config import PageRankConfig
+    from ppagerank_ray.graph.hosts import mass_by_host
+
+    eng, gt = _engine(sf_dir)
+    power_iteration(eng, PageRankConfig(alpha=ALPHA, tol=0.0, maxiter=PR_ITERS))
+    x = eng.to_array("x")
+    eng.shutdown()
+    return mass_by_host(gt, x)
+
+
 def _q_label_propagation(sf_dir: str):
     from ppagerank_ray.algos.components import label_propagation
 
@@ -699,6 +722,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "bfs_distance": _q_bfs_distance,
         "assortativity": _q_assortativity,
+        "host_edges": _q_host_edges,
+        "pagerank_by_host": _q_pagerank_by_host,
         # convergence-driven variants (rows-only; pytest owns conformance)
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
@@ -1121,6 +1146,21 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         "label_propagation": _lp_sql(LP_ITERS),
         "kcore": _kcore_sql(KC_ITERS),
         "bfs_distance": _bfs_sql(BFS_ITERS, BFS_SEED),
+        "host_edges": f"""WITH {_GRAPH_CTES},
+hv AS MATERIALIZED (
+  SELECT id, regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://(?P<host>[^/]+)', 1) AS host
+  FROM verts)
+SELECT hs.host AS src_host, hd.host AS dst_host, count(*)::BIGINT AS n_edges
+FROM edges e JOIN hv hs ON e.src = hs.id JOIN hv hd ON e.dst = hd.id
+GROUP BY 1, 2""",
+        "pagerank_by_host": _pagerank_sql(PR_ITERS, pvec=False).replace(
+            f"SELECT id, round(x, 6) AS score FROM pr{PR_ITERS}",
+            f"""SELECT hv.host, round(sum(p.x), 6) AS score
+FROM pr{PR_ITERS} p JOIN (
+  SELECT id, regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://(?P<host>[^/]+)', 1) AS host
+  FROM verts) hv ON p.id = hv.id
+GROUP BY hv.host""",
+        ),
         "assortativity": f"""WITH {_GRAPH_CTES},
 udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src),
 tri AS (SELECT count(*)::BIGINT AS t
