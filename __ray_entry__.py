@@ -440,6 +440,22 @@ def _q_assortativity(sf_dir: str):
     )
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components (Orzan FW-BW coloring, algos/
+    scc.py), labels canonicalized to the min member id; SQL oracle is
+    recursive-CTE mutual reachability."""
+    from ppagerank_ray.algos.scc import canonical_labels, strongly_connected_components
+
+    gt = _graph(sf_dir)
+    labels, _info = strongly_connected_components(gt.edges, gt.n_vertices, 4)
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "scc": canonical_labels(labels),
+        }
+    )
+
+
 def _q_host_edges(sf_dir: str):
     """Host-level link graph: page edges collapsed to weighted
     (src_host, dst_host, n_edges) — graph/hosts.py, gated broadcast /
@@ -715,6 +731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": _q_katz,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
+        "scc": _q_scc,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangles,
         "kcore": _q_kcore,
@@ -1145,6 +1162,15 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "kcore": _kcore_sql(KC_ITERS),
+        "scc": f"""WITH RECURSIVE {_GRAPH_CTES},
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT r1.a AS id, min(r1.b)::BIGINT AS scc
+FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+GROUP BY r1.a""",
         "bfs_distance": _bfs_sql(BFS_ITERS, BFS_SEED),
         "host_edges": f"""WITH {_GRAPH_CTES},
 hv AS MATERIALIZED (

@@ -617,6 +617,109 @@ class _VertexWorker:
         deg = self.ivecs["deg"]
         return int((deg * (deg - 1) // 2).sum())
 
+    # ---------- SCC (Orzan forward-backward coloring) ----------
+
+    def max_partials(self, val_parts: list, base_lo: int):
+        """cc_partials' mirror: per destination partition
+        (uniq_local_dst, MAX incoming value) over the loaded u_* CSR."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        val_full, base = self._gather(val_parts, base_lo, self.u_span)
+        vals = val_full[self.u_src - base]
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            out.append((uniq_local, np.maximum.reduceat(vals[a:b], starts)))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def scc_init(self):
+        self.ivecs["scc"] = np.full(self.size, -1, np.int64)
+
+    def scc_phase_reset(self) -> int:
+        """color := own id on active (unassigned) vertices, -1 elsewhere
+        (-1 never wins a max against a real id). Returns #active."""
+        active = self.ivecs["scc"] < 0
+        color = np.where(active, np.arange(self.vlo, self.vhi, dtype=np.int64), -1)
+        self.ivecs["color"] = color
+        return int(active.sum())
+
+    def scc_fwd_reduce(self, refs: list):
+        """color ← max(color, incoming max) on ACTIVE vertices only
+        (assigned vertices are removed from the residual subgraph).
+        Returns (n_changed, slice)."""
+        color = self.ivecs["color"]
+        idx_all, val_all = [], []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                idx_all.append(pair[0])
+                val_all.append(pair[1])
+        if not idx_all:
+            return 0, color
+        idx = np.concatenate(idx_all)
+        val = np.concatenate(val_all)
+        order = np.argsort(idx, kind="stable")
+        idx_s, val_s = idx[order], val[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+        uniq = idx_s[starts]
+        maxs = np.maximum.reduceat(val_s, starts)
+        new = color.copy()
+        upd = np.maximum(new[uniq], maxs)
+        active_u = self.ivecs["scc"][uniq] < 0
+        new[uniq] = np.where(active_u, upd, new[uniq])
+        changed = int((new > color).sum())
+        self.ivecs["color"] = new
+        return changed, new
+
+    def scc_root_reset(self):
+        """r := 1 at phase roots (active vertices whose color is their own
+        id — the maximal ancestor of their residual subgraph)."""
+        ids = np.arange(self.vlo, self.vhi, dtype=np.int64)
+        self.ivecs["r"] = (
+            (self.ivecs["scc"] < 0) & (self.ivecs["color"] == ids)
+        ).astype(np.int64)
+
+    def scc_bwd_encode(self) -> np.ndarray:
+        """Per-vertex code for the backward gather: color+1 where the
+        vertex already reaches its root (r=1), else 0."""
+        return np.where(self.ivecs["r"] == 1, self.ivecs["color"] + 1, 0)
+
+    def scc_bwd_reduce(self, refs: list, mult: int):
+        """r(v) ← 1 when some out-neighbor d has r(d)=1 and color(d) ==
+        color(v). Partials are lp_partials keys local_v·mult + enc(d)
+        computed on the REVERSED-edge engine (counts unused). Returns
+        (n_changed, slice)."""
+        keys_all = []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                keys_all.append(pair[0])
+        r = self.ivecs["r"]
+        if not keys_all:
+            return 0, r
+        keys = np.unique(np.concatenate(keys_all))
+        cand = np.flatnonzero((self.ivecs["scc"] < 0) & (r == 0))
+        if len(cand) == 0:
+            return 0, r
+        want = cand * np.int64(mult) + self.ivecs["color"][cand] + 1
+        pos = np.searchsorted(keys, want)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = (pos < len(keys)) & (keys[pos_c] == want)
+        new = r.copy()
+        new[cand[hit]] = 1
+        changed = int(hit.sum())
+        self.ivecs["r"] = new
+        return changed, new
+
+    def scc_assign(self) -> int:
+        """scc := color where the backward sweep proved mutual
+        reachability with the root. Returns #assigned this phase."""
+        take = (self.ivecs["scc"] < 0) & (self.ivecs["r"] == 1)
+        self.ivecs["scc"][take] = self.ivecs["color"][take]
+        return int(take.sum())
+
     # ---------- results / checkpoint ----------
 
     def partition_stats(self) -> dict:
