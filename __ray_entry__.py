@@ -354,6 +354,44 @@ def _q_degree_distribution(sf_dir: str):
     )
 
 
+def _q_indegree_distribution(sf_dir: str):
+    """In-degree histogram (0-bucket = vertices never linked to) as two
+    pre-aggregated combiner groupbys — per-batch np.unique before each
+    shuffle, histogram-sized output to the driver."""
+    gt = _graph(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        uk, c = np.unique(t["dst"].to_numpy(), return_counts=True)
+        return pa.Table.from_pydict({"dst": uk, "n": c.astype(np.int64)})
+
+    def hist(t: pa.Table) -> pa.Table:
+        uk, c = np.unique(t["sum(n)"].to_numpy(), return_counts=True)
+        return pa.Table.from_pydict({"indeg": uk, "n": c.astype(np.int64)})
+
+    import ray
+
+    agg = (
+        gt.edges.select_columns(["dst"])
+        .map_batches(part, batch_format="pyarrow", batch_size=262144)
+        .groupby("dst")
+        .sum("n")
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("indeg")
+        .sum("n")
+    )
+    tb = pa.concat_tables([t for t in ray.get(agg.to_arrow_refs()) if t.num_rows])
+    indeg = tb["indeg"].to_numpy()
+    n = tb["sum(n)"].to_numpy()
+    n_zero = gt.n_vertices - int(n.sum())
+    if n_zero:
+        indeg = np.concatenate([[0], indeg])
+        n = np.concatenate([[n_zero], n])
+    order = np.argsort(indeg)
+    return pa.Table.from_pydict(
+        {"indeg": indeg[order], "n_vertices": n[order].astype(np.int64)}
+    )
+
+
 def _q_reciprocity(sf_dir: str):
     """Directed-edge reciprocity r = |E ∩ Eᵀ| / |E| as ONE combiner-
     backed groupby: edge (s,d) emits key s·V+d with bit 1 and key d·V+s
@@ -736,6 +774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": _q_triangles,
         "kcore": _q_kcore,
         "degree_distribution": _q_degree_distribution,
+        "indegree_distribution": _q_indegree_distribution,
         "reciprocity": _q_reciprocity,
         "bfs_distance": _q_bfs_distance,
         "assortativity": _q_assortativity,
@@ -1199,6 +1238,12 @@ SELECT round(corr(ds.c, dd.c), 6) AS assortativity,
 FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
         "degree_distribution": f"""WITH {_GRAPH_CTES}
 SELECT outdeg, count(*)::BIGINT AS n_vertices FROM outdeg_all GROUP BY outdeg""",
+        "indegree_distribution": f"""WITH {_GRAPH_CTES},
+ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)
+SELECT indeg, count(*)::BIGINT AS n_vertices FROM (
+  SELECT v.id, coalesce(i.c, 0)::BIGINT AS indeg
+  FROM verts v LEFT JOIN ind i ON v.id = i.id
+) GROUP BY indeg""",
         "reciprocity": f"""WITH {_GRAPH_CTES},
 recip AS (SELECT count(*)::BIGINT AS c
           FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src)
