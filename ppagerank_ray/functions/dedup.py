@@ -269,9 +269,12 @@ def lsh_candidate_pairs(
     cand = bands.repartition(shuffle_blocks()).groupby("g").map_groups(
         pairs, batch_format="numpy"
     )
+    # no repartition before the dedup aggregate: map_groups already emits
+    # one block per coarse group, and the Aggregate is itself an all-to-all
+    # over the pair stream — the round-2 repartition here was a second
+    # full exchange of the same stream for no placement benefit
     return (
-        cand.repartition(shuffle_blocks())
-        .groupby(["id_a", "id_b"])
+        cand.groupby(["id_a", "id_b"])
         .count()
         .select_columns(["id_a", "id_b"])
     )
@@ -384,21 +387,29 @@ def _jaccard_packed(
     return j
 
 
-def _involved_ids(cand: rd.Dataset) -> rd.Dataset:
-    """Distinct doc ids appearing in any candidate pair, as a Dataset."""
-    def side(col):
-        return cand.select_columns([col]).map_batches(
-            lambda t, c=col: t.rename_columns(["doc_id"]), batch_format="pyarrow"
-        )
-
-    return (
-        side("id_a")
-        .union(side("id_b"))
-        .repartition(_sb_blocks())
-        .groupby("doc_id")
-        .count()
-        .select_columns(["doc_id"])
+@ray.remote
+def _block_pair_ids(tb: pa.Table) -> np.ndarray:
+    return np.unique(
+        np.concatenate([tb["id_a"].to_numpy(), tb["id_b"].to_numpy()])
     )
+
+
+def _involved_ids_array(cand: rd.Dataset) -> np.ndarray:
+    """Distinct doc ids appearing in any candidate pair, sorted.
+
+    Per-block partial distincts run as Ray tasks; the driver merges
+    arrays bounded by O(candidates) — the answer-sized quantity the
+    MAX_BUCKET_PAIRS valve bounds and that the broadcast verify path
+    already holds driver-side. This replaces a union + repartition +
+    groupby all-to-all that round 2 paid per near_dup_pairs call just to
+    dedup an already-materialized answer table."""
+    parts = ray.get(
+        [_block_pair_ids.remote(r) for r in cand.to_arrow_refs()]
+    )
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def verify_jaccard(
@@ -422,17 +433,12 @@ def verify_jaccard(
     from ppagerank_ray.ops.joins import hash_join
 
     cand = cand.materialize()
-    inv = _involved_ids(cand).materialize()
-    n_inv = inv.count()
+    ids_arr = _involved_ids_array(cand)
+    n_inv = len(ids_arr)
     if n_inv == 0:
         return _empty_pairs()
     doc_cols = docs.select_columns(["doc_id", "text"])
     if n_inv <= BROADCAST_MAX_INVOLVED:
-        ids_arr = np.sort(
-            np.concatenate(
-                [t["doc_id"].to_numpy() for t in ray.get(inv.to_arrow_refs()) if t.num_rows]
-            )
-        )
         ids_ref = ray.put(ids_arr)
 
         def filt(t: pa.Table) -> pa.Table:
@@ -474,6 +480,7 @@ def verify_jaccard(
             return _empty_pairs()
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
         return pa.Table.from_pandas(out, preserve_index=False)
+    inv = rd.from_arrow(pa.Table.from_pydict({"doc_id": ids_arr}))
     docs_inv = hash_join(doc_cols, inv, "doc_id", "doc_id")
     sh = docs_inv.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
 
