@@ -78,7 +78,7 @@ def _engine(sf_dir: str, directed=True, undirected=False):
     if directed:
         eng.load_directed(gt.edges, presorted=gt.edges_sorted)
     if undirected:
-        eng.load_undirected(build_undirected(gt.edges))
+        eng.load_undirected(build_undirected(gt.edges), presorted=True)
     return eng, gt
 
 

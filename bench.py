@@ -163,7 +163,7 @@ def run_bench() -> dict:
     # --- components to fixpoint on the e2e graph ---
     def run_cc():
         eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
-        eng.load_undirected(build_undirected(gt.edges))
+        eng.load_undirected(build_undirected(gt.edges), presorted=True)
         cc = connected_components(eng)
         eng.shutdown()
         return cc

@@ -219,7 +219,7 @@ def main(argv: list[str] | None = None) -> int:
         eng.shutdown()
     elif args.algo in ("components", "labelprop"):
         eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
-        eng.load_undirected(build_undirected(gt.edges))
+        eng.load_undirected(build_undirected(gt.edges), presorted=True)
         if args.algo == "components":
             info = connected_components(eng)
             colname = "component"

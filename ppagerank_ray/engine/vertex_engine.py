@@ -905,10 +905,16 @@ class VertexEngine:
         self._shuffle_profile = None
         return total
 
-    def load_undirected(self, und_edges: rd.Dataset):
-        from ppagerank_ray.graph.build import shuffle_blocks
+    def load_undirected(self, und_edges: rd.Dataset, presorted: bool = False):
+        """presorted=True skips the global sort (build_undirected's output
+        is already globally (src,dst)-sorted and distinct); workers still
+        dst-sort their slice locally either way."""
+        if presorted:
+            sorted_ds = und_edges
+        else:
+            from ppagerank_ray.graph.build import shuffle_blocks
 
-        sorted_ds = und_edges.repartition(shuffle_blocks()).sort(["src", "dst"])
+            sorted_ds = und_edges.repartition(shuffle_blocks()).sort(["src", "dst"])
         plans, total = _plan_balanced_slices(sorted_ds, self.P)
         out = ray.get(
             [w.load_undirected.remote(p) for w, p in zip(self.workers, plans)]

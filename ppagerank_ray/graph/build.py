@@ -284,35 +284,35 @@ def build_graph(pages: rd.Dataset, use_fast: bool = True) -> GraphTables:
 def build_undirected(edges: rd.Dataset) -> rd.Dataset:
     """Directed (src,dst[,weight]) → distinct undirected pairs, both
     directions emitted, self-loops dropped. Input to components / label
-    propagation / triangles (SURVEY.md §2.9 engine-only algorithms)."""
+    propagation / triangles (SURVEY.md §2.9 engine-only algorithms).
 
-    def canon(t: pa.Table) -> pa.Table:
+    ONE wide op: both directions are emitted BEFORE the single global
+    (src,dst) sort, and duplicates drop adjacently after it (round 2
+    sorted the half-pairs, then the engine re-sorted the doubled stream
+    — two full exchanges of the same edges). The output is globally
+    sorted and distinct, so engine.load_undirected(..., presorted=True)
+    skips its sort entirely."""
+
+    def canon_both(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy()
         d = t["dst"].to_numpy()
         keep = s != d
         s, d = s[keep], d[keep]
         lo = np.minimum(s, d)
         hi = np.maximum(s, d)
-        return pa.Table.from_pydict({"src": lo, "dst": hi})
-
-    pairs = sorted_dedup(
-        edges.select_columns(["src", "dst"])
-        .map_batches(canon, batch_format="pyarrow", batch_size=262144)
-        .repartition(shuffle_blocks())
-        .sort(["src", "dst"])
-    )
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy()
-        d = t["dst"].to_numpy()
         return pa.Table.from_pydict(
             {
-                "src": np.concatenate([s, d]),
-                "dst": np.concatenate([d, s]),
+                "src": np.concatenate([lo, hi]),
+                "dst": np.concatenate([hi, lo]),
             }
         )
 
-    return pairs.map_batches(both_dirs, batch_format="pyarrow", batch_size=262144)
+    return sorted_dedup(
+        edges.select_columns(["src", "dst"])
+        .map_batches(canon_both, batch_format="pyarrow", batch_size=262144)
+        .repartition(shuffle_blocks())
+        .sort(["src", "dst"])
+    )
 
 
 # ---------------------------------------------------------------------------

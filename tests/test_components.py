@@ -57,12 +57,15 @@ def test_components_match_networkx(sf_tiny):
         m = min(comp)
         for v in comp:
             expected[v] = m
-    engine = VertexEngine(gt.n_vertices, 4)
-    engine.load_undirected(build_undirected(gt.edges))
-    connected_components(engine)
-    labels = engine.to_array("label", integer=True)
-    engine.shutdown()
-    assert np.array_equal(labels, expected)
+    # presorted=True (build_undirected's output is globally sorted
+    # distinct) must load identically to the engine-side re-sort path
+    for presorted in (True, False):
+        engine = VertexEngine(gt.n_vertices, 4)
+        engine.load_undirected(build_undirected(gt.edges), presorted=presorted)
+        connected_components(engine)
+        labels = engine.to_array("label", integer=True)
+        engine.shutdown()
+        assert np.array_equal(labels, expected)
 
 
 @pytest.mark.parametrize("P", [1, 3])
