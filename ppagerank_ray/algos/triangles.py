@@ -205,9 +205,11 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
                 {"tri": np.array([matches], dtype=np.int64)}
             )
 
+        # no repartition before the groupby: `oriented` is materialized
+        # across shuffle_blocks()-many blocks already and the sort-based
+        # groupby is itself the exchange
         grouped = (
             _with_group(oriented, n_groups)
-            .repartition(shuffle_blocks())
             .groupby("g")
             .map_groups(count_in_group, batch_format="numpy")
         )
@@ -231,7 +233,6 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
 
     wedge_ds = (
         _with_group(oriented, n_groups)
-        .repartition(shuffle_blocks())
         .groupby("g")
         .map_groups(wedge_rows, batch_format="numpy")
     )
@@ -251,8 +252,7 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
 
     tagged = wedge_ds.union(oriented.map_batches(tag_edges, batch_format="pyarrow"))
     per_pair = (
-        tagged.repartition(shuffle_blocks())
-        .groupby(["a", "b"])
+        tagged.groupby(["a", "b"])
         .aggregate(Sum("w", alias_name="w_sum"), Max("e", alias_name="has_e"))
     )
 
