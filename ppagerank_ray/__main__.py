@@ -73,7 +73,10 @@ def main(argv: list[str] | None = None) -> int:
                     choices=[None, "bsmat", "bvgraph", "parquet"],
                     help="format hint (-mhint in the reference)")
     ap.add_argument("--algo", default="pagerank",
-                    choices=["pagerank", "components", "labelprop", "triangles"])
+                    choices=["pagerank", "components", "labelprop", "triangles",
+                             "kcore", "bfs", "scc", "hosts"])
+    ap.add_argument("--seed", type=int, default=0,
+                    help="BFS source vertex id (--algo bfs)")
     ap.add_argument("--alg", default="power", choices=["power", "inout", "arnoldi"],
                     help="PageRank algorithm (-alg in the reference)")
     ap.add_argument("--alpha", type=float, default=0.85)
@@ -217,20 +220,64 @@ def main(argv: list[str] | None = None) -> int:
             summary.update({k: info[k] for k in ("iteration", "residual_l1", "converged")})
             summary["output"] = eng.write_result_partitioned(args.out, "x", "score")
         eng.shutdown()
-    elif args.algo in ("components", "labelprop"):
+    elif args.algo in ("components", "labelprop", "kcore", "bfs"):
         eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
         eng.load_undirected(build_undirected(gt.edges), presorted=True)
         if args.algo == "components":
             info = connected_components(eng)
-            colname = "component"
-        else:
+            vec, colname = "label", "component"
+        elif args.algo == "labelprop":
             info = label_propagation(eng, num_rounds=args.lp_rounds)
-            colname = "label"
+            vec, colname = "label", "label"
+        elif args.algo == "kcore":
+            from ppagerank_ray.algos.kcore import kcore_decomposition
+
+            info = kcore_decomposition(eng)
+            vec, colname = "core", "core"
+        else:  # bfs
+            from ppagerank_ray.algos.structure import bfs_distances
+
+            info = bfs_distances(eng, [args.seed])
+            # unreachable sentinel → -1 in the written result
+            import ray as _ray
+
+            _ray.get(
+                [
+                    w.ivec_replace_ge.remote("dist", info["sentinel"], -1)
+                    for w in eng.workers
+                ]
+            )
+            vec, colname = "dist", "dist"
         summary["rounds"] = info["rounds"]
         summary["output"] = eng.write_result_partitioned(
-            args.out, "label", colname, integer=True
+            args.out, vec, colname, integer=True
         )
         eng.shutdown()
+    elif args.algo == "scc":
+        from ppagerank_ray.algos.scc import strongly_connected_components
+
+        eng, info = strongly_connected_components(
+            gt.edges, gt.n_vertices, args.partitions, keep_engine=True
+        )
+        summary["phases"] = info["phases"]
+        # labels are phase-root member ids (a valid SCC labeling); the
+        # min-member canonical form is a driver-side relabel offered by
+        # algos.scc.canonical_labels for answer-scale consumers
+        summary["output"] = eng.write_result_partitioned(
+            args.out, "scc", "scc", integer=True
+        )
+        eng.shutdown()
+    elif args.algo == "hosts":
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ppagerank_ray.graph.hosts import host_edges
+
+        he = host_edges(gt)
+        summary["n_host_edges"] = he.num_rows
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(he, f"{args.out}/host_edges.parquet")
     else:  # triangles
         summary["n_triangles"] = triangle_count(gt.edges, gt.n_vertices)
         import pyarrow as pa

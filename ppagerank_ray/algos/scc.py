@@ -91,10 +91,14 @@ def strongly_connected_components(
     n_vertices: int,
     num_partitions: int = 0,
     max_phases: int = 10_000,
-) -> tuple[np.ndarray, dict]:
+    keep_engine: bool = False,
+) -> tuple[np.ndarray, dict] | tuple[VertexEngine, dict]:
     """Exact SCC labels (label = the phase root's id, a member of the
     component; canonicalize to min-member with canonical_labels). Returns
-    (per-vertex labels, info)."""
+    (per-vertex labels, info) — or, with keep_engine=True, (forward
+    engine, info) with labels left in ivec 'scc' so callers can write the
+    result partitioned without an O(V) driver array (caller shuts the
+    engine down)."""
     eng_f = VertexEngine(n_vertices, num_partitions)
     eng_b = VertexEngine(n_vertices, eng_f.P)
     eng_f.load_undirected(edges.select_columns(["src", "dst"]))
@@ -121,16 +125,19 @@ def strongly_connected_components(
         assigned += int(
             np.sum(ray.get([w.scc_assign.remote() for w in eng_f.workers]))
         )
-    labels = eng_f.to_array("scc", integer=True)
-    eng_f.shutdown()
-    eng_b.shutdown()
     assert assigned == n_vertices
-    return labels, {
+    info = {
         "algorithm": "scc",
         "phases": phases,
         "fwd_rounds": fwd_rounds,
         "bwd_rounds": bwd_rounds,
     }
+    eng_b.shutdown()
+    if keep_engine:
+        return eng_f, info
+    labels = eng_f.to_array("scc", integer=True)
+    eng_f.shutdown()
+    return labels, info
 
 
 def canonical_labels(labels: np.ndarray) -> np.ndarray:

@@ -232,6 +232,12 @@ class _VertexWorker:
     def get_islice(self, name: str) -> np.ndarray:
         return self.ivecs[name]
 
+    def ivec_replace_ge(self, name: str, threshold: int, value: int):
+        """ivec[name][i] := value where ≥ threshold (e.g. BFS sentinel →
+        -1 before a partitioned result write)."""
+        v = self.ivecs[name]
+        v[v >= threshold] = value
+
     # ---------- SpMV: y_partial[q] = sum over local edges of x[src]*w ----------
 
     def _gather(self, parts: list, base_lo: int, span: tuple[int, int]) -> np.ndarray:

@@ -74,3 +74,51 @@ def test_parse_spec_line_negative_values():
     assert spec["tol"] == "-1e-8"
     assert spec["alg"] == "power"
     assert spec["trans"] is True
+
+
+def test_cli_graph_algos(tmp_path):
+    """kcore / bfs / scc partitioned writes + hosts table (round-3 algos)."""
+    import duckdb
+
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "kcore",
+         "--out", str(tmp_path / "kc"), "--num-cpus", "4"]
+    )
+    assert s["rounds"] >= 1
+    n, mx = duckdb.sql(
+        f"select count(*), max(core) from '{tmp_path}/kc/part_*/data.parquet'"
+    ).fetchone()
+    assert n == 505 and mx >= 1
+
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "bfs", "--seed", "0",
+         "--out", str(tmp_path / "bf"), "--num-cpus", "4"]
+    )
+    row = duckdb.sql(
+        f"select count(*), min(dist), max(dist) from '{tmp_path}/bf/part_*/data.parquet'"
+    ).fetchone()
+    assert row[0] == 505 and row[1] == -1  # unreachable mapped to -1
+    seed_d = duckdb.sql(
+        f"select dist from '{tmp_path}/bf/part_*/data.parquet' where id = 0"
+    ).fetchone()[0]
+    assert seed_d == 0
+
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "scc",
+         "--out", str(tmp_path / "sc"), "--num-cpus", "4"]
+    )
+    assert s["phases"] >= 1
+    n = duckdb.sql(
+        f"select count(*) from '{tmp_path}/sc/part_*/data.parquet'"
+    ).fetchone()[0]
+    assert n == 505
+
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "hosts",
+         "--out", str(tmp_path / "ho"), "--num-cpus", "4"]
+    )
+    assert s["n_host_edges"] >= 1
+    hosts = duckdb.sql(
+        f"select src_host from '{tmp_path}/ho/host_edges.parquet'"
+    ).fetchall()
+    assert ("pages.example",) in hosts
