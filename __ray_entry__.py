@@ -494,6 +494,34 @@ def _q_scc(sf_dir: str):
     )
 
 
+def _q_clustering(sf_dir: str):
+    """Per-vertex local clustering coefficient: c(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)), 0 when deg < 2 (networkx convention).
+    tri(v) from triangles.triangle_counts_per_vertex (distributed);
+    undirected degree via one engine partial round."""
+    from ppagerank_ray.algos.structure import undirected_degrees
+    from ppagerank_ray.algos.triangles import triangle_counts_per_vertex
+    from ppagerank_ray.graph.build import build_undirected
+
+    gt = _graph(sf_dir)
+    tv = triangle_counts_per_vertex(gt.edges, gt.n_vertices).to_pandas()
+    n_tri = np.zeros(gt.n_vertices, np.int64)
+    n_tri[tv["id"].to_numpy()] = tv["n_tri"].to_numpy()
+    eng, _ = _engine(sf_dir, directed=False, undirected=True)
+    undirected_degrees(eng, "deg")
+    deg = eng.to_array("deg", integer=True)
+    eng.shutdown()
+    denom = deg * (deg - 1)
+    clust = np.where(denom > 0, 2.0 * n_tri / np.maximum(denom, 1), 0.0)
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "n_tri": n_tri,
+            "clustering": _round6(clust),
+        }
+    )
+
+
 def _q_host_edges(sf_dir: str):
     """Host-level link graph: page edges collapsed to weighted
     (src_host, dst_host, n_edges) — graph/hosts.py, gated broadcast /
@@ -772,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": _q_scc,
         "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangles,
+        "clustering": _q_clustering,
         "kcore": _q_kcore,
         "degree_distribution": _q_degree_distribution,
         "indegree_distribution": _q_indegree_distribution,
@@ -1201,6 +1230,25 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "kcore": _kcore_sql(KC_ITERS),
+        "clustering": f"""WITH {_GRAPH_CTES},
+tri_v AS (
+  SELECT v, count(*)::BIGINT AS c FROM (
+    SELECT e1.a AS v FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e1.b FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e2.b FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) GROUP BY v
+),
+udeg AS (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src)
+SELECT v.id, coalesce(t.c, 0)::BIGINT AS n_tri,
+       CASE WHEN coalesce(d.c, 0) >= 2
+            THEN round(2.0 * coalesce(t.c, 0) / (d.c * (d.c - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM verts v LEFT JOIN tri_v t ON v.id = t.v LEFT JOIN udeg d ON v.id = d.id""",
         "scc": f"""WITH RECURSIVE {_GRAPH_CTES},
 reach(a, b) AS (
   SELECT id, id FROM verts

@@ -66,10 +66,11 @@ def _wedge_pairs(a: np.ndarray, b: np.ndarray, db: np.ndarray):
     """All rank-ordered out-neighbor pairs per center, diagonally vectorized:
     sort rows by (center, deg(nbr), nbr); for offset g, rows p and p+g form
     a wedge iff they share a center. Python loop length = max out-degree.
-    deg(nbr) arrives as a column — no dense degree array."""
+    deg(nbr) arrives as a column — no dense degree array. Returns
+    (x, y, center) per wedge."""
     order = np.lexsort((b, db, a))
     a, b = a[order], b[order]
-    out_x, out_y = [], []
+    out_x, out_y, out_c = [], [], []
     g = 1
     while g < len(a):
         same = a[:-g] == a[g:]
@@ -78,10 +79,12 @@ def _wedge_pairs(a: np.ndarray, b: np.ndarray, db: np.ndarray):
             break
         out_x.append(b[idx])
         out_y.append(b[idx + g])
+        out_c.append(a[idx])
         g += 1
     if not out_x:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(out_x), np.concatenate(out_y)
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return np.concatenate(out_x), np.concatenate(out_y), np.concatenate(out_c)
 
 
 def _with_group(ds: rd.Dataset, n_groups: int) -> rd.Dataset:
@@ -189,7 +192,7 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
 
         def count_in_group(group) -> pa.Table:
             ks = ray.get(keys_ref)
-            x, y = _wedge_pairs(
+            x, y, _c = _wedge_pairs(
                 np.asarray(group["a"]),
                 np.asarray(group["b"]),
                 np.asarray(group["db"]),
@@ -217,7 +220,7 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
 
     # large-graph fallback: tagged union + hash shuffle match
     def wedge_rows(group) -> pa.Table:
-        x, y = _wedge_pairs(
+        x, y, _c = _wedge_pairs(
             np.asarray(group["a"]),
             np.asarray(group["b"]),
             np.asarray(group["db"]),
@@ -261,6 +264,109 @@ def triangle_count(edges: rd.Dataset, n_vertices: int) -> int:
         return pa.Table.from_pydict({"tri": np.array([c.sum()], dtype=np.int64)})
 
     return int(per_pair.map_batches(contrib, batch_format="pyarrow").sum("tri"))
+
+
+def triangle_counts_per_vertex(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
+    """Per-vertex triangle participation counts (id, n_tri), only ids
+    with n_tri > 0 — the local-clustering-coefficient numerator.
+
+    Same degree-ordered wedge machinery as triangle_count, but every
+    matched wedge (x, y, center) credits ALL THREE members. Below
+    BROADCAST_MAX_EDGE_KEYS the edge-key match is the broadcast
+    semi-join and each group emits sparse (id, n) partials; above it the
+    wedges (with their center column) hash-join against the oriented
+    edge keys — both ends with ONE aggregate shuffle of the sparse
+    per-vertex partials."""
+    pairs = canonical_pairs(edges).materialize()
+    if n_vertices <= BROADCAST_MAX_VERTEX_DEGREES:
+        oriented = _orient_broadcast(pairs, n_vertices).materialize()
+    else:
+        oriented = _orient_joined(pairs).materialize()
+    n_edges = oriented.count()
+    V = np.int64(n_vertices)
+    n_groups = 1024
+    empty = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"id": np.empty(0, np.int64), "n_tri": np.empty(0, np.int64)}
+        )
+    )
+    if n_edges == 0:
+        return empty
+
+    def vertex_partial(ids_concat: np.ndarray) -> pa.Table:
+        uk, c = np.unique(ids_concat, return_counts=True)
+        return pa.Table.from_pydict({"id": uk, "n": c.astype(np.int64)})
+
+    if n_edges <= BROADCAST_MAX_EDGE_KEYS:
+        keys = np.sort(
+            np.concatenate(
+                [
+                    t["a"].to_numpy() * V + t["b"].to_numpy()
+                    for t in ray.get(oriented.to_arrow_refs())
+                    if t.num_rows
+                ]
+            )
+        )
+        keys_ref = ray.put(keys)
+
+        def counts_in_group(group) -> pa.Table:
+            ks = ray.get(keys_ref)
+            x, y, c = _wedge_pairs(
+                np.asarray(group["a"]),
+                np.asarray(group["b"]),
+                np.asarray(group["db"]),
+            )
+            if len(x) == 0:
+                return vertex_partial(np.empty(0, np.int64))
+            wk = x * V + y
+            pos = np.searchsorted(ks, wk)
+            pos[pos >= len(ks)] = len(ks) - 1
+            m = ks[pos] == wk
+            return vertex_partial(np.concatenate([x[m], y[m], c[m]]))
+
+        partials = (
+            _with_group(oriented, n_groups)
+            .groupby("g")
+            .map_groups(counts_in_group, batch_format="numpy")
+        )
+    else:
+        from ppagerank_ray.ops.joins import hash_join
+
+        def wedge_key_rows(group) -> pa.Table:
+            x, y, c = _wedge_pairs(
+                np.asarray(group["a"]),
+                np.asarray(group["b"]),
+                np.asarray(group["db"]),
+            )
+            return pa.Table.from_pydict({"k": x * V + y, "x": x, "y": y, "c": c})
+
+        wedges = (
+            _with_group(oriented, n_groups)
+            .groupby("g")
+            .map_groups(wedge_key_rows, batch_format="numpy")
+        )
+        edge_keys = oriented.map_batches(
+            lambda t: pa.Table.from_pydict(
+                {"k": t["a"].to_numpy() * V + t["b"].to_numpy()}
+            ),
+            batch_format="pyarrow",
+        )
+        matched = hash_join(wedges, edge_keys, "k", "k")
+        partials = matched.map_batches(
+            lambda t: vertex_partial(
+                np.concatenate(
+                    [t["x"].to_numpy(), t["y"].to_numpy(), t["c"].to_numpy()]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    out = partials.groupby("id").sum("n")
+    return out.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"id": t["id"], "n_tri": t["sum(n)"]}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def numpy_triangle_oracle(src: np.ndarray, dst: np.ndarray) -> int:

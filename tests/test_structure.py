@@ -130,6 +130,36 @@ def test_transitivity_matches_networkx(P):
     assert abs(t - nx.transitivity(g)) < 1e-12
 
 
+def _pv_counts(src, dst, n, force_join=False) -> np.ndarray:
+    import ppagerank_ray.algos.triangles as T
+
+    saved = (T.BROADCAST_MAX_EDGE_KEYS, T.BROADCAST_MAX_VERTEX_DEGREES)
+    try:
+        if force_join:
+            T.BROADCAST_MAX_EDGE_KEYS = 0
+            T.BROADCAST_MAX_VERTEX_DEGREES = 0
+        tb = T.triangle_counts_per_vertex(_edges_ds(src, dst), n).to_pandas()
+    finally:
+        T.BROADCAST_MAX_EDGE_KEYS, T.BROADCAST_MAX_VERTEX_DEGREES = saved
+    out = np.zeros(n, np.int64)
+    out[tb["id"].to_numpy()] = tb["n_tri"].to_numpy()
+    return out
+
+
+@pytest.mark.parametrize("force_join", [False, True])
+def test_triangle_counts_per_vertex_matches_networkx(force_join):
+    rng = np.random.default_rng(41 + force_join)
+    n, m = 120, 600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    g = _nx_graph(src, dst, n)
+    expect = np.array([nx.triangles(g, v) for v in range(n)], np.int64)
+    np.testing.assert_array_equal(_pv_counts(src, dst, n, force_join), expect)
+    # consistency with the global count: Σ per-vertex = 3·triangles
+    tri = triangle_count(_edges_ds(src, dst), n)
+    assert expect.sum() == 3 * tri
+
+
 def test_structure_sf_tiny_matches_networkx(sf_tiny):
     gt = build_graph(synth_pages(sf_tiny))
     et = gt.edges.to_pandas()
