@@ -522,6 +522,25 @@ def _q_clustering(sf_dir: str):
     )
 
 
+def _q_hyperanf(sf_dir: str):
+    """HyperANF sketch fixpoint: per-vertex estimated component size
+    (ball at t→∞) — approximate by construction, rows-only for the
+    driver; pytest pins determinism across P and error vs exact sizes."""
+    from ppagerank_ray.algos.anf import ball_estimates, hyperanf
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    info = hyperanf(eng, n_words=4)
+    est = ball_estimates(eng, n_words=4)
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "ball_est": _round6(est),
+            "rounds": np.full(gt.n_vertices, info["rounds"], np.int64),
+        }
+    )
+
+
 def _q_host_edges(sf_dir: str):
     """Host-level link graph: page edges collapsed to weighted
     (src_host, dst_host, n_edges) — graph/hosts.py, gated broadcast /
@@ -809,7 +828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "host_edges": _q_host_edges,
         "pagerank_by_host": _q_pagerank_by_host,
-        # convergence-driven variants (rows-only; pytest owns conformance)
+        # convergence-driven / approximate variants (rows-only; pytest owns
+        # conformance)
+        "neighborhood_function": _q_hyperanf,
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
         "pagerank_arnoldi": _q_pagerank_arnoldi,

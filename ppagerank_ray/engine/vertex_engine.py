@@ -623,6 +623,94 @@ class _VertexWorker:
         deg = self.ivecs["deg"]
         return int((deg * (deg - 1) // 2).sum())
 
+    # ---------- HyperANF (HLL registers packed 8-per-int64) ----------
+
+    def hll_init(self, n_words: int, seed: int):
+        """Insert each owned vertex into its own m-register sketch:
+        register index from splitmix64(id), value ρ = trailing-zero count
+        of a second hash + 1 (any fixed bit-position statistic works for
+        HLL; trailing zeros vectorize via the isolate-lowest-bit trick)."""
+        from ppagerank_ray.algos.anf import splitmix64
+
+        m = n_words * 8
+        ids = np.arange(self.vlo, self.vhi, dtype=np.uint64)
+        h = splitmix64(ids + np.uint64(seed))
+        idx = (h & np.uint64(m - 1)).astype(np.int64)
+        h2 = splitmix64(h)
+        low = (h2 & (~h2 + np.uint64(1))).astype(np.float64)  # 2^tz exactly
+        rho = np.where(
+            h2 == 0, 64, np.frexp(np.maximum(low, 1.0))[1]
+        ).astype(np.uint8)  # tz + 1, capped far below uint8 range
+        regs = np.zeros((self.size, m), np.uint8)
+        regs[np.arange(self.size), idx] = rho
+        for w in range(n_words):
+            self.ivecs[f"hll{w}"] = (
+                np.ascontiguousarray(regs[:, 8 * w : 8 * w + 8])
+                .view(np.int64)
+                .ravel()
+            )
+
+    def hll_partials(self, val_parts: list, base_lo: int):
+        """cc_partials with a BYTE-wise max: the gathered int64 word packs
+        8 uint8 registers; per destination partition take the per-byte max
+        over each dst run (np.maximum.reduceat over the (n,8) uint8 view)."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        val_full, base = self._gather(val_parts, base_lo, self.u_span)
+        vals = np.ascontiguousarray(val_full[self.u_src - base])
+        bytes2d = vals.view(np.uint8).reshape(-1, 8)
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            mx = np.maximum.reduceat(bytes2d[a:b], starts, axis=0)
+            out.append(
+                (uniq_local, np.ascontiguousarray(mx).view(np.int64).ravel())
+            )
+        return out[0] if self.P == 1 else tuple(out)
+
+    def hll_reduce(self, refs: list, name: str):
+        """regs ← byte-max(regs, incoming). Returns (n_changed, slice)."""
+        own = self.ivecs[name]
+        idx_all, val_all = [], []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                idx_all.append(pair[0])
+                val_all.append(pair[1])
+        if not idx_all:
+            return 0, own
+        idx = np.concatenate(idx_all)
+        val = np.concatenate(val_all)
+        order = np.argsort(idx, kind="stable")
+        idx_s = idx[order]
+        val2d = np.ascontiguousarray(val[order]).view(np.uint8).reshape(-1, 8)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+        uniq = idx_s[starts]
+        mx = np.maximum.reduceat(val2d, starts, axis=0)
+        new = own.copy()
+        nb = new.view(np.uint8).reshape(-1, 8)
+        nb[uniq] = np.maximum(nb[uniq], mx)
+        changed = int((new != own).sum())
+        self.ivecs[name] = new
+        return changed, new
+
+    def hll_sum_estimates(self, names: list) -> float:
+        """Σ over owned vertices of the sketch cardinality estimate —
+        one point of the neighborhood function."""
+        from ppagerank_ray.algos.anf import hll_estimate
+
+        regs = np.concatenate(
+            [
+                self.ivecs[n].view(np.uint8).reshape(-1, 8)
+                for n in names
+            ],
+            axis=1,
+        )
+        return float(hll_estimate(regs).sum()) if self.size else 0.0
+
     # ---------- SCC (Orzan forward-backward coloring) ----------
 
     def max_partials(self, val_parts: list, base_lo: int):
