@@ -189,3 +189,89 @@ def test_hash_join_matches_pandas_merge(pairs, nkeys):
     exp = exp.sort_values(["k", "lv", "rv"]).reset_index(drop=True)
     assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
     assert got["k"].dtype == np.int64
+
+
+def _py_scc_min_labels(src, dst, n) -> np.ndarray:
+    reach = np.eye(n, dtype=bool)
+    reach[src, dst] = True
+    for k in range(n):  # boolean transitive closure (n ≤ 40)
+        reach |= reach[:, k : k + 1] & reach[k : k + 1, :]
+    mutual = reach & reach.T
+    return np.array([np.flatnonzero(mutual[v]).min() for v in range(n)], np.int64)
+
+
+def _py_kcore(us, ud, n) -> np.ndarray:
+    adj = [set() for _ in range(n)]
+    for a, b in zip(us.tolist(), ud.tolist()):
+        if a != b:
+            adj[a].add(b)
+    deg = np.array([len(a) for a in adj], np.int64)
+    core = deg.copy()
+    alive = np.ones(n, bool)
+    for k in range(0, int(deg.max(initial=0)) + 1):
+        while True:
+            peel = np.flatnonzero(alive & (deg <= k))
+            if len(peel) == 0:
+                break
+            for v in peel.tolist():
+                alive[v] = False
+                core[v] = k
+                for u in adj[v]:
+                    if alive[u]:
+                        deg[u] -= 1
+    return core
+
+
+def _py_bfs(us, ud, n, seed=0) -> np.ndarray:
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for a, b in zip(us.tolist(), ud.tolist()):
+        adj[a].append(b)
+    dist = np.full(n, -1, np.int64)
+    dist[seed] = 0
+    q = deque([seed])
+    while q:
+        v = q.popleft()
+        for u in adj[v]:
+            if dist[u] < 0:
+                dist[u] = v_d = dist[v] + 1
+                q.append(u)
+    return dist
+
+
+@given(g=graphs())
+@_SETTINGS
+def test_scc_property(g):
+    from ppagerank_ray.algos.scc import canonical_labels, strongly_connected_components
+
+    n, edges = g
+    ds, src, dst = _edge_ds(n, edges)
+    labels, _ = strongly_connected_components(ds, n, 2)
+    assert np.array_equal(canonical_labels(labels), _py_scc_min_labels(src, dst, n))
+
+
+@given(g=graphs())
+@_SETTINGS
+def test_kcore_bfs_property(g):
+    from ppagerank_ray.algos.kcore import kcore_decomposition
+    from ppagerank_ray.algos.structure import bfs_distances
+
+    n, edges = g
+    ds, src, dst = _edge_ds(n, edges)
+    und = build_undirected(ds)
+    ut = und.to_pandas()
+    if "src" in ut.columns:
+        us, ud = ut["src"].to_numpy(), ut["dst"].to_numpy()
+    else:
+        us = ud = np.empty(0, np.int64)
+    eng = VertexEngine(n, 2)
+    eng.load_undirected(und, presorted=True)
+    kcore_decomposition(eng)
+    cores = eng.to_array("core", integer=True)
+    assert np.array_equal(cores, _py_kcore(us, ud, n))
+    info = bfs_distances(eng, [0])
+    dist = eng.to_array("dist", integer=True)
+    eng.shutdown()
+    dist = np.where(dist >= info["sentinel"], -1, dist)
+    assert np.array_equal(dist, _py_bfs(us, ud, n))
