@@ -208,6 +208,39 @@ def _q_pagerank_pvec(sf_dir: str):
     return _pagerank_fixed(sf_dir, PR_PVEC_ITERS, pvec=True)
 
 
+def _q_pagerank_trans(sf_dir: str):
+    """A3 trans-storage path end-to-end (ppagerank.cc:177-231): write the
+    built graph TRANSPOSED to a BSMAT (file stores M = A^T), reload it with
+    trans=True (column-stochastic normalization of M, iterate y = M*x) —
+    which must reproduce the plain row-stochastic `pagerank` oracle
+    exactly. The driver-side edge arrays are a test-fixture convenience at
+    oracle scale (sf <= 0.01), not a pipeline pattern — real trans inputs
+    stream through load_normalized_matrix like any other matrix."""
+    import tempfile
+
+    from ppagerank_ray.algos.pagerank import power_iteration
+    from ppagerank_ray.config import PageRankConfig
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+    from ppagerank_ray.graph.build import load_normalized_matrix
+    from ppagerank_ray.sources.bsmat import write_bsmat
+
+    gt0 = _graph(sf_dir)
+    src, dst = _edge_arrays(sf_dir)
+    V = gt0.n_vertices
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/at.bsmat"
+        write_bsmat(path, dst, src, np.ones(len(src)), V, V)
+        gt = load_normalized_matrix(path, trans=True)  # materializes edges
+    eng = VertexEngine(gt.n_vertices, num_partitions=4)
+    eng.load_directed(gt.edges)
+    power_iteration(eng, PageRankConfig(alpha=ALPHA, tol=0.0, maxiter=PR_ITERS))
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(V, dtype=np.int64), "score": _round6(x)}
+    )
+
+
 def _q_pagerank_top20(sf_dir: str):
     t = _q_pagerank(sf_dir)
     ids = t["id"].to_numpy()
@@ -810,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": _q_matrix_stats,
         # iterative algorithms (fixed-iteration, oracle-checked)
         "pagerank": _q_pagerank,
+        "pagerank_trans": _q_pagerank_trans,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_pvec": _q_pagerank_pvec,
         "hits": _q_hits,
@@ -1235,6 +1269,9 @@ SELECT (SELECT v FROM nv) AS n_vertices,
        (SELECT round(max(s), 6) FROM (
           SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.src)) AS norm_inf""",
         "pagerank": _pagerank_sql(PR_ITERS, pvec=False),
+        # trans-storage load (M = A^T, column-normalized, y = M*x) must
+        # equal plain row-stochastic PageRank — same oracle by design
+        "pagerank_trans": _pagerank_sql(PR_ITERS, pvec=False),
         "pagerank_top20": _pagerank_sql(PR_ITERS, pvec=False).replace(
             f"SELECT id, round(x, 6) AS score FROM pr{PR_ITERS}",
             f"""SELECT row_number() OVER (ORDER BY round(x, 6) DESC, id ASC) AS rank,

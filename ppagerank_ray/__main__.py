@@ -85,12 +85,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pvec", default=None,
                     help="parquet file of (id, value) personalization vector")
     ap.add_argument("--trans", action="store_true",
-                    help="column-stochastic (transposed) normalization — "
-                    "NOT implemented, matching the reference's own untested "
-                    "branch (ppagerank.cc:177-210 marked 'not tested yet'); "
-                    "rejected explicitly rather than silently")
+                    help="treat the loaded matrix as transposed storage "
+                    "(file holds M = A^T): normalize M's COLUMNS and iterate "
+                    "y = M*x (reference -trans, ppagerank.cc:177-231). "
+                    "Requires --matrix.")
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--wrows", type=int, default=0,
+                    help="row weight in the edge-partition balance "
+                    "(reference -matload_redistribute_wrows; its default "
+                    "is 1, ours 0 = pure edge count)")
+    ap.add_argument("--wnnz", type=int, default=1,
+                    help="nonzero weight in the edge-partition balance "
+                    "(reference -matload_redistribute_wnnz)")
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--lp-rounds", type=int, default=0,
                     help="label propagation rounds (0 = to fixpoint)")
@@ -101,14 +108,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="read one JSON run-spec per stdin line (reference -script)")
     ap.add_argument("--num-cpus", type=int, default=0)
     args = ap.parse_args(argv)
-    if args.trans:
-        # surface parity with the reference CLI (-trans,
-        # ppagerank_main.cc:121-122); its normalization branch is marked
-        # untested in the reference itself, so we refuse loudly
-        print(json.dumps({"error": "-trans (column-stochastic) mode is not "
-                          "implemented; the reference marks its own trans "
-                          "branch untested (ppagerank.cc:206-209)"}),
-              file=sys.stderr)
+    if args.trans and not args.matrix:
+        # -trans is a property of the stored matrix file
+        # (ppagerank_main.cc:121-122); a pages build has no storage
+        # orientation to transpose
+        print(json.dumps({"error": "--trans requires --matrix (it declares "
+                          "the FILE's storage orientation)"}), file=sys.stderr)
         return 2
 
     import ray
@@ -139,26 +144,11 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     if args.matrix:
-        from ppagerank_ray.graph.build import GraphTables, normalize_edge_weights
-        from ppagerank_ray.sources.bsmat import load_matrix
+        from ppagerank_ray.graph.build import load_normalized_matrix
 
-        raw, m, n, nnz = load_matrix(args.matrix, hint=args.mhint)
-        nv = max(m, n)  # PageRank requires square (ppagerank.cc:62-65)
-        if "weight" not in raw.schema().names:
-            # plain (src, dst) edge tables are valid inputs (load_matrix
-            # only requires src/dst); unweighted ⇒ weight 1 per entry, so
-            # normalization reduces to 1/outdeg like the unweighted path
-            import pyarrow as _pa
-
-            raw = raw.map_batches(
-                lambda t: t.append_column(
-                    "weight", _pa.array(np.ones(t.num_rows, dtype=np.float64))
-                ),
-                batch_format="pyarrow",
-            )
-        edges = normalize_edge_weights(raw, nv).materialize()
-        gt = GraphTables(vertices=None, edges=edges, n_vertices=nv,
-                         n_edges=nnz, edges_sorted=False)
+        gt = load_normalized_matrix(
+            args.matrix, hint=args.mhint, trans=args.trans
+        )
     else:
         gt = build_graph(synth_pages(args.sf, replicate=args.replicate))
     summary: dict = {
@@ -182,7 +172,8 @@ def main(argv: list[str] | None = None) -> int:
     algos = {"power": power_iteration, "inout": inner_outer, "arnoldi": arnoldi}
 
     if args.algo == "pagerank":
-        eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
+        eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads,
+                           wrows=args.wrows, wnnz=args.wnnz)
         eng.load_directed(gt.edges, presorted=gt.edges_sorted)
         v = load_pvec(args.pvec) if args.pvec else None
         if args.script:
@@ -221,7 +212,8 @@ def main(argv: list[str] | None = None) -> int:
             summary["output"] = eng.write_result_partitioned(args.out, "x", "score")
         eng.shutdown()
     elif args.algo in ("components", "labelprop", "kcore", "bfs"):
-        eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads)
+        eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads,
+                           wrows=args.wrows, wnnz=args.wnnz)
         eng.load_undirected(build_undirected(gt.edges), presorted=True)
         if args.algo == "components":
             info = connected_components(eng)

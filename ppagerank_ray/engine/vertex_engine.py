@@ -928,15 +928,81 @@ _WORKER_CPUS = float(os.environ.get("PPR_WORKER_NUM_CPUS", "0"))
 VertexWorker = ray.remote(num_cpus=_WORKER_CPUS)(_VertexWorker)
 
 
-def _plan_balanced_slices(sorted_ds: rd.Dataset, P: int):
-    """Split a sorted edge Dataset into P contiguous ranges of equal edge
-    count (the reference's -matload_redistribute with wrows=0, wnnz=1;
-    petsc_util.cc:1122-1128). Returns (per-worker slice lists, total_edges).
-    Only block refs + row counts touch the driver."""
+@ray.remote
+def _block_src_meta(t: pa.Table) -> tuple[int, int, int]:
+    """(n_rows, first_src, last_src) of a globally-src-sorted block."""
+    n = t.num_rows
+    if n == 0:
+        return 0, -1, -1
+    s = t["src"]
+    return n, int(s[0].as_py()), int(s[n - 1].as_py())
+
+
+@ray.remote
+def _weighted_split_points(
+    t: pa.Table, g0: int, wrows: int, wnnz: int, targets: list[int]
+) -> list[int]:
+    """Local edge indices where the cumulative balance weight
+    G(k) = wnnz*(g0+k) + wrows*src[k] first reaches each target (G is
+    monotone because the stream is globally src-sorted)."""
+    src = t["src"].to_numpy().astype(np.int64)
+    g = wnnz * (g0 + np.arange(len(src), dtype=np.int64)) + wrows * src
+    return [int(np.searchsorted(g, tg, side="left")) for tg in targets]
+
+
+def _plan_balanced_slices(
+    sorted_ds: rd.Dataset, P: int, n_vertices: int = 0,
+    wrows: int = 0, wnnz: int = 1,
+):
+    """Split a sorted edge Dataset into P contiguous ranges balancing
+    wrows*rows + wnnz*edges — the reference's -matload_redistribute with
+    its -matload_redistribute_wrows/_wnnz knobs (petsc_util.cc:1122-1128).
+    The engine default (wrows=0, wnnz=1: pure edge count) is right when
+    SpMV flops dominate; wrows>0 spreads the per-row vector work of very
+    sparse/empty rows (the reference defaults to wrows=wnnz=1). Unlike the
+    reference, boundaries may split a row's edges mid-run (hub splitting,
+    SURVEY.md §4 'Skew'); partial-aggregate combiners keep sums exact.
+    Returns (per-worker slice lists, total_edges). Only block refs, row
+    counts and boundary src values touch the driver."""
     refs = sorted_ds.to_arrow_refs()
-    counts = ray.get([_nrows.remote(r) for r in refs])
+    if wrows:
+        metas = ray.get([_block_src_meta.remote(r) for r in refs])
+        counts = [m[0] for m in metas]
+    else:
+        counts = ray.get([_nrows.remote(r) for r in refs])
     total = int(sum(counts))
-    bounds = [total * i // P for i in range(P + 1)]
+    if wrows and total:
+        bstarts = np.concatenate([[0], np.cumsum(counts)])
+        nz = [(bi, m) for bi, m in enumerate(metas) if m[0]]
+        # G at each non-empty block's first edge — monotone across blocks
+        g_first = np.array(
+            [wnnz * int(bstarts[bi]) + wrows * m[1] for bi, m in nz],
+            dtype=np.int64,
+        )
+        total_balance = wnnz * total + wrows * int(n_vertices)
+        targets = [total_balance * w // P for w in range(1, P)]
+        inner = [0] * (P - 1)
+        per_block: dict[int, list[tuple[int, int]]] = {}
+        for ti, tg in enumerate(targets):
+            j = int(np.searchsorted(g_first, tg, side="right")) - 1
+            if j < 0:
+                inner[ti] = 0  # before the first edge
+            else:
+                per_block.setdefault(nz[j][0], []).append((ti, tg))
+        futs = {
+            bi: _weighted_split_points.remote(
+                refs[bi], int(bstarts[bi]), wrows, wnnz,
+                [tg for _, tg in lst],
+            )
+            for bi, lst in per_block.items()
+        }
+        for bi, lst in per_block.items():
+            for (ti, _), k in zip(lst, ray.get(futs[bi])):
+                # k may equal the block's row count: boundary at block end
+                inner[ti] = int(bstarts[bi]) + k
+        bounds = [0] + sorted(inner) + [total]
+    else:
+        bounds = [total * i // P for i in range(P + 1)]
     starts = np.concatenate([[0], np.cumsum(counts)])
     plans: list[list] = [[] for _ in range(P)]
     for bi, (ref, c) in enumerate(zip(refs, counts)):
@@ -954,16 +1020,24 @@ def _plan_balanced_slices(sorted_ds: rd.Dataset, P: int):
 class VertexEngine:
     """Driver-side handle over the worker pool; owns iteration loops."""
 
-    def __init__(self, n_vertices: int, num_partitions: int = 0, n_threads: int = 1):
+    def __init__(self, n_vertices: int, num_partitions: int = 0, n_threads: int = 1,
+                 wrows: int = 0, wnnz: int = 1):
         """num_partitions plays the role of cluster nodes (all-to-all width);
         n_threads is per-worker intra-node parallelism. On a real multi-node
         cluster P = #nodes and n_threads = cores/node; on this single-node
-        sandbox the product is capped by the session CPU count."""
+        sandbox the product is capped by the session CPU count.
+
+        wrows/wnnz weight the edge-partition balance (reference
+        -matload_redistribute_wrows/_wnnz, petsc_util.cc:1122-1128):
+        partitions equalize wrows*rows + wnnz*edges. Default (0, 1) is pure
+        edge count — right when SpMV flops dominate; the reference defaults
+        to (1, 1), which spreads per-row vector work of sparse rows."""
         if num_partitions <= 0:
             num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
         self.P = int(min(num_partitions, max(1, n_vertices)))
         self.V = int(n_vertices)
         self.vb = [self.V * i // self.P for i in range(self.P + 1)]
+        self.wrows, self.wnnz = int(wrows), int(wnnz)
         self.workers = [
             VertexWorker.remote(w, self.vb, n_threads) for w in range(self.P)
         ]
@@ -989,7 +1063,9 @@ class VertexEngine:
             from ppagerank_ray.graph.build import shuffle_blocks
 
             sorted_ds = edges.repartition(shuffle_blocks()).sort(["src", "dst"])
-        plans, total = _plan_balanced_slices(sorted_ds, self.P)
+        plans, total = _plan_balanced_slices(
+            sorted_ds, self.P, self.V, self.wrows, self.wnnz
+        )
         out = ray.get(
             [w.load_directed.remote(p) for w, p in zip(self.workers, plans)]
         )

@@ -269,6 +269,48 @@ def normalize_edge_weights(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
     return edges.map_batches(scale, batch_format="pyarrow", batch_size=262144)
 
 
+def load_normalized_matrix(
+    path: str, hint: str | None = None, trans: bool = False
+) -> GraphTables:
+    """MatLoad + MatNormalizeForPageRank in one step (ppagerank.cc:153-272):
+    load a BSMAT / BVGraph / parquet edge table and return PageRank-ready
+    row-stochastic edges.
+
+    trans=True is the reference's -trans branch (ppagerank.cc:177-231): the
+    file stores M = A^T, so the reference column-normalizes M (column sums
+    of M are row sums of A) and iterates y = M*x. That is numerically
+    identical to transposing the entries at load ((row,col) -> (col,row))
+    and reusing the row-stochastic path — which is what we do. Dangling
+    columns of M become dangling rows of A automatically. The reference
+    marks its own trans branch untested (ppagerank.cc:206-209); this one is
+    oracle-tested (tests/test_cli.py::test_cli_trans_matches_untransposed,
+    query `pagerank_trans`)."""
+    from ppagerank_ray.sources.bsmat import load_matrix
+
+    raw, m, n, nnz = load_matrix(path, hint=hint)
+    nv = max(m, n)  # PageRank requires square (ppagerank.cc:62-65)
+    has_weight = "weight" in raw.schema().names
+
+    def _orient(t: pa.Table) -> pa.Table:
+        src, dst = (t["dst"], t["src"]) if trans else (t["src"], t["dst"])
+        w = (
+            t["weight"]
+            if has_weight
+            # unweighted ⇒ weight 1 per entry, so normalization reduces
+            # to 1/outdeg like the unweighted page-graph path
+            else pa.array(np.ones(t.num_rows, dtype=np.float64))
+        )
+        return pa.Table.from_pydict({"src": src, "dst": dst, "weight": w})
+
+    edges = normalize_edge_weights(
+        raw.map_batches(_orient, batch_format="pyarrow"), nv
+    ).materialize()
+    return GraphTables(
+        vertices=None, edges=edges, n_vertices=nv, n_edges=nnz,
+        edges_sorted=False,
+    )
+
+
 def build_graph(pages: rd.Dataset, use_fast: bool = True) -> GraphTables:
     """Default entry: the single-sort fast path when its input invariants
     hold (unique page urls; externals sort last), else the generic

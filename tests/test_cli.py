@@ -122,3 +122,48 @@ def test_cli_graph_algos(tmp_path):
         f"select src_host from '{tmp_path}/ho/host_edges.parquet'"
     ).fetchall()
     assert ("pages.example",) in hosts
+
+
+def test_cli_trans_matches_untransposed(tmp_path):
+    """A3 -trans (ppagerank.cc:177-231): running --trans on the TRANSPOSED
+    weighted matrix file (storage M = A^T, column-normalized, y = M*x) must
+    reproduce the plain run on the original file to fp round-off."""
+    import duckdb
+    import numpy as np
+
+    from ppagerank_ray.sources.bsmat import write_bsmat
+
+    rng = np.random.default_rng(7)
+    V, E = 60, 400
+    src = rng.integers(0, V, E)
+    dst = rng.integers(0, V, E)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.random(len(src)) + 0.5
+    write_bsmat(str(tmp_path / "a.bsmat"), src, dst, w, V, V)
+    write_bsmat(str(tmp_path / "at.bsmat"), dst, src, w, V, V)
+
+    _run(["--matrix", str(tmp_path / "a.bsmat"), "--tol", "1e-10",
+          "--out", str(tmp_path / "oa"), "--num-cpus", "4"])
+    _run(["--matrix", str(tmp_path / "at.bsmat"), "--trans", "--tol", "1e-10",
+          "--out", str(tmp_path / "ot"), "--num-cpus", "4"])
+
+    a = duckdb.sql(
+        f"select score from '{tmp_path}/oa/part_*/data.parquet' order by id"
+    ).fetchnumpy()["score"]
+    t = duckdb.sql(
+        f"select score from '{tmp_path}/ot/part_*/data.parquet' order by id"
+    ).fetchnumpy()["score"]
+    assert len(a) == V and np.allclose(a, t, atol=1e-9)
+
+
+def test_cli_trans_requires_matrix(tmp_path):
+    """--trans declares the FILE's storage orientation; a pages build has
+    none, so the combination is rejected loudly."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ppagerank_ray", "--sf",
+         "/root/testdata/sf0.001", "--trans", "--out", str(tmp_path / "x")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=60,
+    )
+    assert out.returncode == 2
+    assert "requires --matrix" in out.stderr

@@ -66,3 +66,49 @@ def test_hub_results_match_across_partition_counts():
         results.append(eng.to_array("x"))
         eng.shutdown()
     assert np.allclose(results[0], results[1], atol=1e-12)
+
+
+def test_redistribute_wrows_balances_rows():
+    """-matload_redistribute_wrows/_wnnz analogue (petsc_util.cc:1122-1128):
+    with wrows=1, wnnz=0 the partitioner equalizes ROW spans, not edge
+    counts — a graph whose edges all live in the first n/10 rows lands
+    entirely in worker 0 at P=4 (its row quarter owns every edge), and the
+    scores still match the numpy oracle exactly."""
+    n = 1200
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, n // 10, 4000).astype(np.int64)
+    dst = rng.integers(0, n, 4000).astype(np.int64)
+    key = src * n + dst
+    uniq = np.unique(key)
+    src, dst = uniq // n, uniq % n
+    od = np.bincount(src, minlength=n).astype(np.float64)
+    w = 1.0 / od[src]
+    ds = rd.from_arrow(pa.Table.from_pydict({"src": src, "dst": dst, "weight": w}))
+
+    eng = VertexEngine(n, 4, wrows=1, wnnz=0)
+    eng.load_directed(ds)
+    counts = [s["directed_edges"] for s in eng.partition_stats()]
+    assert counts[0] == len(src) and sum(counts[1:]) == 0
+    info = power_iteration(eng, PageRankConfig(alpha=0.85, tol=1e-10))
+    x = eng.to_array("x")
+    eng.shutdown()
+    xo, _ = numpy_power_oracle(src, dst, n, tol=1e-10)
+    assert np.abs(x - xo).max() < 1e-12
+
+
+def test_redistribute_reference_default_results_match():
+    """The reference's default weighting (wrows=1, wnnz=1) on the zipf-hub
+    graph: scores identical to the numpy oracle and to the engine's own
+    edge-count default — redistribution must never change answers."""
+    src, dst, w, n = _zipf_hub_graph()
+    ds = rd.from_arrow(pa.Table.from_pydict({"src": src, "dst": dst, "weight": w}))
+    eng = VertexEngine(n, 4, wrows=1, wnnz=1)
+    eng.load_directed(ds)
+    counts = [s["directed_edges"] for s in eng.partition_stats()]
+    assert sum(counts) == len(src) and all(c > 0 for c in counts)
+    info = power_iteration(eng, PageRankConfig(alpha=0.85, tol=1e-10))
+    x = eng.to_array("x")
+    eng.shutdown()
+    xo, deltas = numpy_power_oracle(src, dst, n, tol=1e-10)
+    assert info["iteration"] == len(deltas)
+    assert np.abs(x - xo).max() < 1e-12
