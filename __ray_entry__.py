@@ -583,6 +583,14 @@ def _q_host_edges(sf_dir: str):
     return host_edges(_graph(sf_dir))
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Weighted PageRank ON the collapsed host graph (weights = page link
+    counts): the A2 weighted normalize branch + engine, fixed PR_ITERS."""
+    from ppagerank_ray.graph.hosts import host_pagerank
+
+    return host_pagerank(_graph(sf_dir), alpha=ALPHA, iters=PR_ITERS)
+
+
 def _q_pagerank_by_host(sf_dir: str):
     """PageRank mass aggregated per host: fixed PR_ITERS power iteration
     then Σ score by the vertex's url host."""
@@ -668,6 +676,22 @@ def _q_fingerprint(sf_dir: str):
     from ppagerank_ray.functions.textstats import fingerprints
 
     return fingerprints(_docs(sf_dir))
+
+
+def _q_top_terms(sf_dir: str):
+    """Corpus vocabulary: combiner-pre-aggregated wordcount, top 100 by
+    (count desc, term asc)."""
+    from ppagerank_ray.functions.textstats import top_terms
+
+    return top_terms(_docs(sf_dir), k=100)
+
+
+def _q_term_doc_freq(sf_dir: str):
+    """Document frequency (the IDF denominator), top 100 by (df desc,
+    term asc)."""
+    from ppagerank_ray.functions.textstats import term_doc_freq
+
+    return term_doc_freq(_docs(sf_dir), k=100)
 
 
 def _q_near_dup_jaccard(sf_dir: str):
@@ -862,6 +886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "host_edges": _q_host_edges,
         "pagerank_by_host": _q_pagerank_by_host,
+        "host_pagerank": _q_host_pagerank,
         # convergence-driven / approximate variants (rows-only; pytest owns
         # conformance)
         "neighborhood_function": _q_hyperanf,
@@ -875,6 +900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_fingerprint,
+        "top_terms": _q_top_terms,
+        "term_doc_freq": _q_term_doc_freq,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_dedup": _q_near_dup_dedup,
         "minhash_candidates": _q_minhash_candidates,
@@ -964,6 +991,42 @@ def _pagerank_sql(iters: int, pvec: bool, alpha: float = ALPHA) -> str:
 )"""
         )
     return "WITH " + "".join(parts) + f"\nSELECT id, round(x, 6) AS score FROM pr{iters}"
+
+
+def _host_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
+    """Fixed-iteration WEIGHTED PageRank unroll over the host graph:
+    edge weight = page-link count, row-normalized by weighted out-degree
+    (x/wsum) — mirrors normalize_edge_weights' A2 weighted branch."""
+    host_re = "'^[a-z][a-z0-9+.\\-]*://(?P<host>[^/]+)'"
+    parts = [
+        _GRAPH_CTES,
+        f""", hv AS MATERIALIZED (
+  SELECT id, regexp_extract(url, {host_re}, 1) AS host FROM verts),
+hedges AS MATERIALIZED (
+  SELECT hs.host AS src, hd.host AS dst, count(*)::DOUBLE AS w
+  FROM edges e JOIN hv hs ON e.src = hs.id JOIN hv hd ON e.dst = hd.id
+  GROUP BY 1, 2),
+hverts AS MATERIALIZED (SELECT DISTINCT host FROM hv),
+hn AS (SELECT count(*)::DOUBLE AS v FROM hverts),
+hdeg AS (SELECT src AS host, sum(w) AS wsum FROM hedges GROUP BY src),
+hpr0 AS MATERIALIZED (SELECT host, 1.0/(SELECT v FROM hn) AS x FROM hverts)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", hy{t} AS MATERIALIZED (
+  SELECT e.dst AS host, {alpha}*sum(p.x * e.w / d.wsum) AS ax
+  FROM hedges e JOIN hpr{t-1} p ON e.src = p.host JOIN hdeg d ON e.src = d.host
+  GROUP BY e.dst
+), hpr{t} AS MATERIALIZED (
+  SELECT v.host,
+         coalesce(y.ax, 0) + (1.0 - (SELECT sum(ax) FROM hy{t}))/(SELECT v FROM hn) AS x
+  FROM hverts v LEFT JOIN hy{t} y ON v.host = y.host
+)"""
+        )
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT host, round(x, 6) AS score FROM hpr{iters}"
+    )
 
 
 def _hits_sql(iters: int) -> str:
@@ -1332,6 +1395,7 @@ FROM pr{PR_ITERS} p JOIN (
   FROM verts) hv ON p.id = hv.id
 GROUP BY hv.host""",
         ),
+        "host_pagerank": _host_pagerank_sql(PR_ITERS),
         "assortativity": f"""WITH {_GRAPH_CTES},
 udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src),
 tri AS (SELECT count(*)::BIGINT AS t
@@ -1393,6 +1457,15 @@ SELECT doc_id,
             ELSE 'fr' END AS lang_pred
 FROM scored""",
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "top_terms": f"""
+WITH toks AS (SELECT unnest({_TOKENS}) AS term FROM documents WHERE trim(text) <> ''),
+counted AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term)
+SELECT term, n FROM counted ORDER BY n DESC, term ASC LIMIT 100""",
+        "term_doc_freq": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE trim(text) <> ''),
+d AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100""",
         # SimHash: token hash = first 8 bytes of md5(token) (hi/lo 32-bit
         # halves to stay inside BIGINT); bit b of the signature is set iff
         # 2·(ones at b) > n_tokens; emitted as 16-char hex, identical to

@@ -4,7 +4,9 @@ Training-data-pipeline operators (no reference analogue; the reference's only
 scalar functions are split_filename/lowercase, util/string.hpp:11-57). All
 are deterministic pure functions of the text so they are SQL-oracle-checkable
 (see __ray_entry__.oracle_sql): token counts, quality ratios, a
-stopword-profile language guesser, and an md5 document fingerprint.
+stopword-profile language guesser, an md5 document fingerprint, and the
+corpus-vocabulary aggregates (top_terms / term_doc_freq) whose per-batch
+np.unique combiners keep the groupby shuffle vocabulary-sized.
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # Fixed stopword profiles; scoring order is the tie-break order (first max
@@ -110,3 +113,87 @@ def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow", batch_size=8192
     )
+
+
+# ---------- corpus vocabulary (wide aggregation with combiners) ----------
+
+
+def term_count_partials(t: pa.Table) -> pa.Table:
+    """Per-batch combiner for the corpus word count: one (term, n) partial
+    row per DISTINCT term in the batch (np.unique collapses the batch's
+    token stream), so the groupby shuffle moves vocabulary-sized partials,
+    never the token stream — the classic pre-aggregated wordcount shape."""
+    toks: list[str] = []
+    for x in t["text"].to_pylist():
+        toks.extend(_tokens(x))
+    if not toks:
+        return pa.Table.from_pydict(
+            {"term": pa.array([], type=pa.string()),
+             "n": pa.array([], type=pa.int64())}
+        )
+    terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    return pa.Table.from_pydict(
+        {"term": pa.array(list(terms), type=pa.string()),
+         "n": counts.astype(np.int64)}
+    )
+
+
+def doc_freq_partials(t: pa.Table) -> pa.Table:
+    """Per-batch combiner for document frequency: each doc contributes each
+    of its DISTINCT terms once; summing per-batch (term, df) partials gives
+    global df exactly because a document is never split across batches."""
+    toks: list[str] = []
+    for x in t["text"].to_pylist():
+        toks.extend(set(_tokens(x)))
+    if not toks:
+        return pa.Table.from_pydict(
+            {"term": pa.array([], type=pa.string()),
+             "df": pa.array([], type=pa.int64())}
+        )
+    terms, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    return pa.Table.from_pydict(
+        {"term": pa.array(list(terms), type=pa.string()),
+         "df": counts.astype(np.int64)}
+    )
+
+
+def _top_by_neg(ds: rd.Dataset, k: int) -> rd.Dataset:
+    # deterministic top-k: count desc (via negated helper column), term asc
+    return ds.sort(["_neg", "term"]).limit(k).drop_columns(["_neg"])
+
+
+def top_terms(docs: rd.Dataset, k: int = 100) -> rd.Dataset:
+    """Corpus-wide term frequencies, top k by (count desc, term asc).
+    partial per-batch unique-count -> groupby(term).sum -> distributed
+    sort -> limit; only the vocabulary ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.select_columns(["text"])
+        .map_batches(term_count_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts = counts.map_batches(
+        lambda t: t.append_column("_neg", pc.negate(t["n"])),
+        batch_format="pyarrow",
+    )
+    return _top_by_neg(counts, k)
+
+
+def term_doc_freq(docs: rd.Dataset, k: int = 100) -> rd.Dataset:
+    """Document frequency (distinct-docs-containing) per term, top k by
+    (df desc, term asc) — the inverted-index statistic behind IDF."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.select_columns(["text"])
+        .map_batches(doc_freq_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    counts = counts.map_batches(
+        lambda t: t.append_column("_neg", pc.negate(t["df"])),
+        batch_format="pyarrow",
+    )
+    return _top_by_neg(counts, k)

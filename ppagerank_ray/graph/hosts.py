@@ -152,3 +152,52 @@ def mass_by_host(gt: GraphTables, scores: np.ndarray) -> pa.Table:
             "score": np.round(mass[order.to_numpy()], 6),
         }
     )
+
+
+def host_pagerank(
+    gt: GraphTables,
+    alpha: float = 0.85,
+    iters: int = 20,
+    num_partitions: int = 4,
+) -> pa.Table:
+    """Weighted PageRank ON the host graph: collapse pages to hosts
+    (host_edges, weight = n page links), row-normalize by WEIGHTED
+    out-degree (normalize_edge_weights — the A2 weighted branch,
+    ppagerank.cc:234-268), and power-iterate on the vertex engine. Output
+    (host, score), fixed `iters` for oracle comparison.
+
+    Partitioning assumption: hosts are ~3 orders of magnitude fewer than
+    pages, and `host_edges` already returns a host-pair-sized driver
+    table, so the host-id dictionary (sorted distinct hosts) is built
+    driver-side under the same BROADCAST_MAX_VERTICES gate the rest of
+    the host path uses; the engine then runs fully distributed."""
+    from ppagerank_ray.algos.pagerank import power_iteration
+    from ppagerank_ray.config import PageRankConfig
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+    from ppagerank_ray.graph.build import normalize_edge_weights
+
+    he = host_edges(gt)  # (src_host, dst_host, n_edges), host-pair-sized
+    _, names = _host_codes(gt)  # ALL hosts, incl. edge-less ones
+    assert len(names) <= BROADCAST_MAX_VERTICES, "host dictionary over gate"
+    order = pc.sort_indices(names)
+    hosts_sorted = pc.take(names, order)
+    H = len(hosts_sorted)
+    hid_src = pc.index_in(he["src_host"], hosts_sorted).to_numpy().astype(np.int64)
+    hid_dst = pc.index_in(he["dst_host"], hosts_sorted).to_numpy().astype(np.int64)
+    edges = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "src": hid_src,
+                "dst": hid_dst,
+                "weight": he["n_edges"].to_numpy().astype(np.float64),
+            }
+        )
+    )
+    eng = VertexEngine(H, num_partitions=min(num_partitions, max(1, H)))
+    eng.load_directed(normalize_edge_weights(edges, H))
+    power_iteration(eng, PageRankConfig(alpha=alpha, tol=0.0, maxiter=iters))
+    x = eng.to_array("x")
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"host": hosts_sorted, "score": np.round(x, 6)}
+    )

@@ -506,3 +506,33 @@ def test_unpack_batch_zero_copy_matches_pylist():
     got_ids3, got3 = _unpack_batch(sl)
     np.testing.assert_array_equal(got_ids3, ids[5:14])
     np.testing.assert_allclose(got3, M[5:14], rtol=0)
+
+
+def test_top_terms_and_doc_freq_vs_counter():
+    """Corpus vocabulary combiners vs a pure-python Counter oracle,
+    including the deterministic (count desc, term asc) tie-break and the
+    partial-aggregation invariant (multiple small batches == one batch)."""
+    from collections import Counter
+
+    from ppagerank_ray.functions.textstats import term_doc_freq, top_terms
+
+    texts = ["b a a", "c b a", "", "d d c b", "a d"]
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)  # force several partial batches
+
+    tf = Counter()
+    df = Counter()
+    for x in texts:
+        tf.update(x.split())
+        df.update(set(x.split()))
+
+    got_tf = top_terms(ds, k=3).to_pandas()
+    exp_tf = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(map(tuple, got_tf[["term", "n"]].itertuples(index=False))) == exp_tf
+
+    got_df = term_doc_freq(ds, k=10).to_pandas()
+    exp_df = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (
+        list(map(tuple, got_df[["term", "df"]].itertuples(index=False))) == exp_df
+    )
