@@ -574,6 +574,32 @@ def _q_hyperanf(sf_dir: str):
     )
 
 
+def _q_effective_diameter(sf_dir: str):
+    """HyperANF 90% effective diameter (Boldi-Rosa-Vigna): smallest t with
+    N(t) ≥ 0.9·N(∞), linearly interpolated — approximate by construction
+    (HLL sketches), rows-only; pytest pins sketch determinism."""
+    from ppagerank_ray.algos.anf import hyperanf
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    info = hyperanf(eng, n_words=4)
+    eng.shutdown()
+    nf = np.asarray(info["neighborhood_function"], dtype=np.float64)
+    target = 0.9 * nf[-1]
+    t = int(np.argmax(nf >= target))
+    eff = (
+        0.0
+        if t == 0
+        else (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+    )
+    return pa.Table.from_pydict(
+        {
+            "effective_diameter_90": [round(float(eff), 6)],
+            "rounds": [int(info["rounds"])],
+            "nf_final": [round(float(nf[-1]), 6)],
+        }
+    )
+
+
 def _q_host_edges(sf_dir: str):
     """Host-level link graph: page edges collapsed to weighted
     (src_host, dst_host, n_edges) — graph/hosts.py, gated broadcast /
@@ -581,6 +607,24 @@ def _q_host_edges(sf_dir: str):
     from ppagerank_ray.graph.hosts import host_edges
 
     return host_edges(_graph(sf_dir))
+
+
+WALK_LEN = 6
+
+
+def _q_random_walks(sf_dir: str):
+    """DeepWalk-style corpus: one deterministic truncated random walk of
+    ≤ WALK_LEN steps per vertex over the directed edge table (sharded
+    all-to-all sampler, functions/walks.py). The splitmix64 step counter
+    reproduces bit-for-bit in DuckDB (HUGEINT modular arithmetic), so
+    this is fully SQL-oracled despite being 'random'."""
+    from ppagerank_ray.functions.walks import random_walks
+
+    gt = _graph(sf_dir)
+    return random_walks(
+        gt.edges, gt.n_vertices, length=WALK_LEN, walks_per_vertex=1,
+        seed=0, num_shards=4,
+    )
 
 
 def _q_host_pagerank(sf_dir: str):
@@ -887,9 +931,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_edges": _q_host_edges,
         "pagerank_by_host": _q_pagerank_by_host,
         "host_pagerank": _q_host_pagerank,
+        "random_walks": _q_random_walks,
         # convergence-driven / approximate variants (rows-only; pytest owns
         # conformance)
         "neighborhood_function": _q_hyperanf,
+        "effective_diameter": _q_effective_diameter,
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
         "pagerank_arnoldi": _q_pagerank_arnoldi,
@@ -991,6 +1037,60 @@ def _pagerank_sql(iters: int, pvec: bool, alpha: float = ALPHA) -> str:
 )"""
         )
     return "WITH " + "".join(parts) + f"\nSELECT id, round(x, 6) AS score FROM pr{iters}"
+
+
+def _walks_sql(length: int, seed: int = 0) -> str:
+    """Exact SQL replay of the deterministic random-walk sampler
+    (functions/walks.py): splitmix64 is reproduced bit-for-bit in DuckDB
+    via HUGEINT modular arithmetic (products of two uint64 fit in the
+    128-bit HUGEINT; % 2^64 wraps), and each step joins the walk
+    frontier to a row_number()-ranked dst-sorted adjacency — the same
+    neighbor order as the sampler's CSR."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    K2 = 0x9E3779B97F4A7C15
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z: str, C: int) -> str:
+        """(z * C) % 2^64 without overflowing signed INT128: split C into
+        32-bit halves so every intermediate stays < 2^97."""
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+    parts = [
+        _GRAPH_CTES,
+        """, adjr AS MATERIALIZED (
+  SELECT src, dst, (row_number() OVER (PARTITION BY src ORDER BY dst) - 1)::BIGINT AS r
+  FROM edges),
+wdeg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY src),
+w0 AS MATERIALIZED (SELECT id AS walk_id, id AS pos FROM verts)""",
+    ]
+    for t in range(1, length + 1):
+        tk2 = (t * K2) % M
+        parts.append(
+            f""", x{t} AS (
+  SELECT w.walk_id, w.pos, d.c,
+         ((w.walk_id::HUGEINT * {K1} + {tk2} + {seed}) % {M})::UBIGINT AS x
+  FROM w{t-1} w JOIN wdeg d ON w.pos = d.src
+), a{t} AS (SELECT walk_id, pos, c, ((x::HUGEINT + {C1}) % {M})::UBIGINT AS z FROM x{t}
+), b{t} AS (SELECT walk_id, pos, c,
+            {mulmod("xor(z, z >> 30)", C2)} AS z FROM a{t}
+), c{t} AS (SELECT walk_id, pos, c,
+            {mulmod("xor(z, z >> 27)", C3)} AS z FROM b{t}
+), w{t} AS MATERIALIZED (
+  SELECT j.walk_id, a.dst AS pos
+  FROM c{t} j JOIN adjr a
+    ON a.src = j.pos
+   AND a.r = (xor(j.z, j.z >> 31) % j.c::UBIGINT)::BIGINT
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t}::BIGINT AS step, pos AS vertex FROM w{t}"
+        for t in range(length + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
 
 
 def _host_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
@@ -1396,6 +1496,7 @@ FROM pr{PR_ITERS} p JOIN (
 GROUP BY hv.host""",
         ),
         "host_pagerank": _host_pagerank_sql(PR_ITERS),
+        "random_walks": _walks_sql(WALK_LEN, seed=0),
         "assortativity": f"""WITH {_GRAPH_CTES},
 udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src),
 tri AS (SELECT count(*)::BIGINT AS t

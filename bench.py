@@ -38,6 +38,25 @@ import sys
 import time
 
 
+def _co_tenant_busy_cores(dt: float = 0.5) -> float:
+    """Estimate how many cores OTHER tenants are burning right now:
+    whole-box /proc/stat busy delta sampled while THIS process is idle
+    (call before ray.init / after ray.shutdown). Recorded into the JSON
+    so every BENCH_r*.json carries its own contention context — the box's
+    co-tenant bursts stall identical work 2-10x (BASELINE.md 'noise')."""
+    def snap():
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+
+    t0, i0 = snap()
+    time.sleep(dt)
+    t1, i1 = snap()
+    total, idle = t1 - t0, i1 - i0
+    ncpu = os.cpu_count() or 1
+    return round(ncpu * (1 - idle / total), 1) if total else 0.0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -45,6 +64,8 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     bench_pages = int(os.environ.get("PPR_BENCH_PAGES", "4000000"))
     replicate = int(os.environ.get("PPR_BENCH_REPLICATE", "120"))
+
+    busy_start = _co_tenant_busy_cores()
 
     ray.init(
         address="local",
@@ -220,6 +241,11 @@ def run_bench() -> dict:
     )
 
     ray.shutdown()
+    extra["co_tenant_busy_cores"] = {
+        "start": busy_start,
+        "end": _co_tenant_busy_cores(),
+        "loadavg_end": list(os.getloadavg()),
+    }
     return {
         "metric": "link-graph pipeline seconds (e2e + PageRank-to-1e-6 + components + triangles + minhash + dedup + knn)",
         "value": round(sum(queries.values()), 3),

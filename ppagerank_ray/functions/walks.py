@@ -1,0 +1,252 @@
+"""DeepWalk-style distributed random-walk corpus sampling.
+
+Training-data operator for graph embeddings (DeepWalk, node2vec p=q=1):
+`walks_per_vertex` fixed-length truncated random walks from every vertex
+over the directed edge table, emitted as a (walk_id, step, vertex) corpus
+Dataset. No reference analogue (the reference computes spectral scores,
+ppagerank.cc; walk sampling is the embedding-era counterpart).
+
+Scale shape — the vertex engine's all-to-all, not a per-step join:
+
+* **Adjacency shards** (actor pool, state built ONCE): shard p holds a
+  hash-partitioned CSR of the srcs with `hash(src) % P == p`, built by
+  zero-copy-filtering the edge blocks. No driver-side O(E) or O(V) state.
+* **Walk shards** (actor pool): shard q owns walk_ids ≡ q (mod Q), holding
+  (pos, alive) arrays plus its slice of the growing corpus. Per step, each
+  walk shard scatters (local_idx, pos) requests split by target adjacency
+  shard (`num_returns=P` object refs — the engine's scatter pattern,
+  SURVEY.md §4), each adjacency shard answers every walk shard in one
+  vectorized lookup, and walk shards append the step to their corpus.
+  Driver traffic is O(P·Q) refs per step; positions never leave workers.
+* Walks hitting a dangling vertex (no out-edges) terminate — truncated
+  walks, standard for DeepWalk corpora.
+
+Determinism: the step choice is `splitmix64(walk_id·K1 + step·K2 + seed)
+mod outdeg(pos)` over the dst-sorted neighbor list — independent of P, Q,
+batch boundaries and scheduling (tested: exact numpy replay oracle, and
+P/Q-invariance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ppagerank_ray.algos.anf import splitmix64
+
+_K1 = np.uint64(0x100000001B3)  # FNV prime; distinct per-walk stream
+_K2 = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio step stride
+
+
+def step_choices(
+    walk_ids: np.ndarray, step: int, seed: int, degs: np.ndarray
+) -> np.ndarray:
+    """Deterministic neighbor index per walk: splitmix64 counter mod deg.
+    degs must be > 0 (dangling walks are filtered before choosing)."""
+    with np.errstate(over="ignore"):  # uint64 wraparound is the point
+        h = splitmix64(
+            walk_ids.astype(np.uint64) * _K1
+            + np.uint64(step) * _K2
+            + np.uint64(seed)
+        )
+        return (h % degs.astype(np.uint64)).astype(np.int64)
+
+
+class _AdjShard:
+    """CSR over the srcs hashed to this shard (hash = src % P, stable)."""
+
+    def __init__(self, pid: int, P: int, block_refs) -> None:
+        self.pid, self.P = pid, P
+        srcs, dsts = [], []
+        for t in ray.get(list(block_refs)):
+            if t.num_rows == 0:
+                continue
+            s = t["src"].to_numpy().astype(np.int64)
+            keep = (s % P) == pid
+            if keep.any():
+                srcs.append(s[keep])
+                dsts.append(t["dst"].to_numpy().astype(np.int64)[keep])
+        if srcs:
+            s = np.concatenate(srcs)
+            d = np.concatenate(dsts)
+            order = np.lexsort((d, s))  # (src, dst) sort: deterministic lists
+            s, d = s[order], d[order]
+            self.uniq, counts = np.unique(s, return_counts=True)
+            self.indptr = np.concatenate([[0], np.cumsum(counts)])
+            self.indices = d
+        else:
+            self.uniq = np.empty(0, np.int64)
+            self.indptr = np.zeros(1, np.int64)
+            self.indices = np.empty(0, np.int64)
+
+    def ready(self) -> int:
+        return len(self.uniq)
+
+    def sample(self, step: int, seed: int, *requests):
+        """requests: one (walk_ids, positions) pair-array per walk shard;
+        returns (per walk shard) the next position, -1 where dangling."""
+        out = []
+        for req in requests:
+            wid, pos = req
+            nxt = np.full(len(pos), -1, dtype=np.int64)
+            if len(pos) and len(self.uniq):
+                row = np.searchsorted(self.uniq, pos)
+                row_ok = (row < len(self.uniq)) & (
+                    self.uniq[np.minimum(row, len(self.uniq) - 1)] == pos
+                )
+                if row_ok.any():
+                    r = row[row_ok]
+                    deg = self.indptr[r + 1] - self.indptr[r]
+                    idx = step_choices(wid[row_ok], step, seed, deg)
+                    nxt[row_ok] = self.indices[self.indptr[r] + idx]
+            out.append(nxt)
+        return out if len(out) > 1 else out[0]
+
+
+class _WalkShard:
+    """Owns walk_ids ≡ qid (mod Q): positions + the growing corpus."""
+
+    def __init__(self, qid: int, Q: int, P: int, n_vertices: int,
+                 walks_per_vertex: int) -> None:
+        self.qid, self.Q, self.P = qid, Q, P
+        total = n_vertices * walks_per_vertex
+        self.wid = np.arange(qid, total, Q, dtype=np.int64)
+        self.pos = self.wid % n_vertices  # walk r*V+v starts at v
+        self.alive = np.ones(len(self.wid), bool)
+        self.corpus_w = [self.wid.copy()]
+        self.corpus_s = [np.zeros(len(self.wid), np.int64)]
+        self.corpus_v = [self.pos.copy()]
+
+    def scatter(self):
+        """Split live walks by target adjacency shard → P request pairs."""
+        live = np.flatnonzero(self.alive)
+        tgt = self.pos[live] % self.P
+        order = np.argsort(tgt, kind="stable")
+        live = live[order]
+        bounds = np.searchsorted(tgt[order], np.arange(self.P + 1))
+        self._live_by_tgt = [
+            live[bounds[p]: bounds[p + 1]] for p in range(self.P)
+        ]
+        reqs = [
+            (self.wid[ix], self.pos[ix]) for ix in self._live_by_tgt
+        ]
+        return reqs if self.P > 1 else reqs[0]
+
+    def advance(self, step: int, *answers) -> int:
+        """Apply per-adjacency-shard next positions; record step rows."""
+        for ix, nxt in zip(self._live_by_tgt, answers):
+            if len(ix) == 0:
+                continue
+            dead = nxt < 0
+            self.alive[ix[dead]] = False
+            ok = ix[~dead]
+            self.pos[ok] = nxt[~dead]
+            self.corpus_w.append(self.wid[ok])
+            self.corpus_s.append(np.full(len(ok), step, np.int64))
+            self.corpus_v.append(self.pos[ok])
+        return int(self.alive.sum())
+
+    def corpus(self) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "walk_id": np.concatenate(self.corpus_w),
+                "step": np.concatenate(self.corpus_s),
+                "vertex": np.concatenate(self.corpus_v),
+            }
+        )
+
+
+AdjShard = ray.remote(num_cpus=0)(_AdjShard)
+WalkShard = ray.remote(num_cpus=0)(_WalkShard)
+
+
+def random_walks(
+    edges: rd.Dataset,
+    n_vertices: int,
+    length: int = 8,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+    num_shards: int = 4,
+) -> rd.Dataset:
+    """Sample `walks_per_vertex` truncated random walks of ≤ `length`
+    steps from every vertex. Returns a (walk_id, step, vertex) Dataset;
+    step 0 is the start vertex, walks stop early at dangling vertices.
+    Deterministic for fixed seed — invariant to num_shards."""
+    P = Q = max(1, int(num_shards))
+    refs = edges.select_columns(["src", "dst"]).to_arrow_refs()
+    adj = [AdjShard.remote(p, P, refs) for p in range(P)]
+    ray.get([a.ready.remote() for a in adj])
+    walks = [
+        WalkShard.remote(q, Q, P, n_vertices, walks_per_vertex)
+        for q in range(Q)
+    ]
+    for step in range(1, length + 1):
+        req_mat = [
+            w.scatter.options(num_returns=P).remote() for w in walks
+        ]
+        if P == 1:
+            req_mat = [[r] for r in req_mat]
+        ans_mat = [
+            adj[p].sample.options(num_returns=Q).remote(
+                step, seed, *[req_mat[q][p] for q in range(Q)]
+            )
+            for p in range(P)
+        ]
+        if Q == 1:
+            ans_mat = [[a] for a in ans_mat]
+        alive = ray.get(
+            [
+                w.advance.remote(step, *[ans_mat[p][q] for p in range(P)])
+                for q, w in enumerate(walks)
+            ]
+        )
+        if sum(alive) == 0:
+            break
+    tables = ray.get([w.corpus.remote() for w in walks])
+    out = rd.from_arrow(tables)
+    for w in walks + adj:
+        ray.kill(w)
+    return out
+
+
+def numpy_walk_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_vertices: int,
+    length: int = 8,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+) -> "pa.Table":
+    """Independent sequential replay of the exact sampling rule (for
+    tests): same splitmix64 counter, same dst-sorted neighbor lists."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    uniq, counts = np.unique(s, return_counts=True)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    total = n_vertices * walks_per_vertex
+    rows_w, rows_s, rows_v = [], [], []
+    for wid in range(total):
+        pos = wid % n_vertices
+        rows_w.append(wid), rows_s.append(0), rows_v.append(pos)
+        for step in range(1, length + 1):
+            r = np.searchsorted(uniq, pos)
+            if r >= len(uniq) or uniq[r] != pos:
+                break  # dangling
+            deg = indptr[r + 1] - indptr[r]
+            idx = int(
+                step_choices(
+                    np.array([wid], np.int64), step, seed,
+                    np.array([deg], np.int64),
+                )[0]
+            )
+            pos = int(d[indptr[r] + idx])
+            rows_w.append(wid), rows_s.append(step), rows_v.append(pos)
+    return pa.Table.from_pydict(
+        {
+            "walk_id": np.array(rows_w, np.int64),
+            "step": np.array(rows_s, np.int64),
+            "vertex": np.array(rows_v, np.int64),
+        }
+    )

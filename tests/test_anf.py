@@ -111,3 +111,21 @@ def test_hyperanf_sf_tiny(sf_tiny):
         sel = exact == size
         mean_est = est[sel].mean()
         assert abs(mean_est - size) / size < 0.35, (size, mean_est)
+
+
+def test_neighborhood_function_effective_diameter_path():
+    """On a path graph the neighborhood function must keep growing for
+    ~diameter rounds: the 90% effective diameter estimated from nf lands
+    in the right decade (HLL m=32 → wide tolerance, but a path of length
+    60 must NOT look like a clique or an edgeless graph)."""
+    n = 60
+    src = np.arange(n - 1)
+    dst = np.arange(1, n)
+    _, info = _run(src, dst, n, 2)
+    nf = np.asarray(info["neighborhood_function"], np.float64)
+    assert info["rounds"] >= n // 2  # balls keep growing ~diameter rounds
+    target = 0.9 * nf[-1]
+    t = int(np.argmax(nf >= target))
+    eff = (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
+    # true 90% eff. diameter of P_60 ≈ 48; allow generous sketch error
+    assert 20 <= eff <= 59, eff
