@@ -627,6 +627,20 @@ def _q_random_walks(sf_dir: str):
     )
 
 
+def _q_skipgram_pairs(sf_dir: str):
+    """Skip-gram (center, context) co-occurrence counts from the walk
+    corpus — the DeepWalk→word2vec training input. Window 2, forward
+    pairs; one walk_id hash self-join + pair-key combiner groupby."""
+    from ppagerank_ray.functions.walks import random_walks, skipgram_pairs
+
+    gt = _graph(sf_dir)
+    corpus = random_walks(
+        gt.edges, gt.n_vertices, length=WALK_LEN, walks_per_vertex=1,
+        seed=0, num_shards=4,
+    )
+    return skipgram_pairs(corpus, window=2)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Weighted PageRank ON the collapsed host graph (weights = page link
     counts): the A2 weighted normalize branch + engine, fixed PR_ITERS."""
@@ -932,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_by_host": _q_pagerank_by_host,
         "host_pagerank": _q_host_pagerank,
         "random_walks": _q_random_walks,
+        "skipgram_pairs": _q_skipgram_pairs,
         # convergence-driven / approximate variants (rows-only; pytest owns
         # conformance)
         "neighborhood_function": _q_hyperanf,
@@ -1497,6 +1512,11 @@ GROUP BY hv.host""",
         ),
         "host_pagerank": _host_pagerank_sql(PR_ITERS),
         "random_walks": _walks_sql(WALK_LEN, seed=0),
+        "skipgram_pairs": f"""WITH corpus AS ({_walks_sql(WALK_LEN, seed=0)})
+SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
+FROM corpus a JOIN corpus b
+  ON a.walk_id = b.walk_id AND b.step > a.step AND b.step - a.step <= 2
+GROUP BY 1, 2""",
         "assortativity": f"""WITH {_GRAPH_CTES},
 udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src),
 tri AS (SELECT count(*)::BIGINT AS t

@@ -38,23 +38,83 @@ import sys
 import time
 
 
-def _co_tenant_busy_cores(dt: float = 0.5) -> float:
-    """Estimate how many cores OTHER tenants are burning right now:
-    whole-box /proc/stat busy delta sampled while THIS process is idle
-    (call before ray.init / after ray.shutdown). Recorded into the JSON
-    so every BENCH_r*.json carries its own contention context — the box's
-    co-tenant bursts stall identical work 2-10x (BASELINE.md 'noise')."""
-    def snap():
+class _ContentionSampler:
+    """Background thread separating whole-box CPU from OUR process tree
+    every `interval` seconds for the duration of the bench. Co-tenant
+    busy-cores = box busy jiffies − our-tree jiffies per interval. The
+    timeline percentiles go into the JSON so every BENCH_r*.json carries
+    its own contention context — this box's co-tenant bursts stall
+    identical work 2-10x for minutes at a time (BASELINE.md 'noise'),
+    and endpoint-only sampling misses them."""
+
+    def __init__(self, interval: float = 2.0) -> None:
+        import threading
+
+        self.interval = interval
+        self.samples: list[float] = []
+        self.root = os.getpid()
+        self.hz = os.sysconf("SC_CLK_TCK") or 100
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _box_busy() -> int:
         with open("/proc/stat") as f:
             vals = list(map(int, f.readline().split()[1:]))
-        return sum(vals), vals[3] + vals[4]  # total, idle+iowait
+        return sum(vals) - vals[3] - vals[4]  # minus idle+iowait
 
-    t0, i0 = snap()
-    time.sleep(dt)
-    t1, i1 = snap()
-    total, idle = t1 - t0, i1 - i0
-    ncpu = os.cpu_count() or 1
-    return round(ncpu * (1 - idle / total), 1) if total else 0.0
+    def _tree_busy(self) -> dict[int, int]:
+        """pid → utime+stime for this pid and all descendants (the ray
+        session — raylet/workers — is rooted at us because ray.init runs
+        in-process)."""
+        stats: dict[int, tuple[int, int]] = {}  # pid -> (ppid, jiffies)
+        for name in os.listdir("/proc"):
+            if not name.isdigit():
+                continue
+            try:
+                with open(f"/proc/{name}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                stats[int(name)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+            except OSError:
+                continue
+        member = {self.root}
+        changed = True
+        while changed:  # transitively collect descendants
+            changed = False
+            for pid, (ppid, _) in stats.items():
+                if pid not in member and ppid in member:
+                    member.add(pid)
+                    changed = True
+        return {pid: stats[pid][1] for pid in member if pid in stats}
+
+    def _run(self) -> None:
+        ncpu = os.cpu_count() or 1
+        b0, t0 = self._box_busy(), self._tree_busy()
+        while not self._stop.wait(self.interval):
+            b1, t1 = self._box_busy(), self._tree_busy()
+            # per-pid deltas: new pids count fully, dead pids drop (their
+            # final partial slice briefly misattributes to co-tenants)
+            tree = sum(j - t0.get(pid, 0) for pid, j in t1.items())
+            cores = ((b1 - b0) - tree) / self.hz / self.interval
+            self.samples.append(round(min(max(cores, 0.0), ncpu), 2))
+            b0, t0 = b1, t1
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def summary(self) -> dict:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        s = sorted(self.samples)
+        if not s:
+            return {"samples": 0}
+        return {
+            "samples": len(s),
+            "co_tenant_cores_p50": s[len(s) // 2],
+            "co_tenant_cores_p90": s[int(len(s) * 0.9)],
+            "co_tenant_cores_max": s[-1],
+            "loadavg_end": [round(v, 1) for v in os.getloadavg()],
+        }
 
 
 def run_bench() -> dict:
@@ -65,7 +125,8 @@ def run_bench() -> dict:
     bench_pages = int(os.environ.get("PPR_BENCH_PAGES", "4000000"))
     replicate = int(os.environ.get("PPR_BENCH_REPLICATE", "120"))
 
-    busy_start = _co_tenant_busy_cores()
+    contention = _ContentionSampler()
+    contention.start()
 
     ray.init(
         address="local",
@@ -241,11 +302,7 @@ def run_bench() -> dict:
     )
 
     ray.shutdown()
-    extra["co_tenant_busy_cores"] = {
-        "start": busy_start,
-        "end": _co_tenant_busy_cores(),
-        "loadavg_end": list(os.getloadavg()),
-    }
+    extra["contention"] = contention.summary()
     return {
         "metric": "link-graph pipeline seconds (e2e + PageRank-to-1e-6 + components + triangles + minhash + dedup + knn)",
         "value": round(sum(queries.values()), 3),

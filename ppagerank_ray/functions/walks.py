@@ -250,3 +250,60 @@ def numpy_walk_oracle(
             "vertex": np.array(rows_v, np.int64),
         }
     )
+
+
+def skipgram_pairs(
+    corpus: rd.Dataset, window: int = 2, n_buckets: int = 32
+) -> rd.Dataset:
+    """(center, context) co-occurrence counts from a walk corpus — the
+    skip-gram training input DeepWalk feeds word2vec. Directed pairs
+    within `window` FORWARD steps on the same walk (context after center;
+    symmetrize downstream if needed).
+
+    Scale shape: one bucketed hash self-join on walk_id (walks are short,
+    so the join fans out ≤ window rows per corpus row) followed by a
+    pre-aggregated (pair-key combiner) groupby — corpus rows shuffle
+    once, pair counts shuffle vocabulary²-bounded partials."""
+    from ray.data.aggregate import Sum
+
+    from ppagerank_ray.ops.joins import hash_join
+
+    left = corpus.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"walk_id": t["walk_id"], "s1": t["step"], "v1": t["vertex"]}
+        ),
+        batch_format="pyarrow",
+    )
+    right = corpus.map_batches(
+        lambda t: pa.Table.from_pydict(
+            {"walk_id": t["walk_id"], "s2": t["step"], "v2": t["vertex"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, "walk_id", "walk_id", n_buckets=n_buckets)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        s1 = t["s1"].to_numpy()
+        s2 = t["s2"].to_numpy()
+        keep = (s2 > s1) & (s2 - s1 <= window)
+        if not keep.any():
+            return pa.Table.from_pydict(
+                {"center": pa.array([], type=pa.int64()),
+                 "context": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        c = t["v1"].to_numpy()[keep].astype(np.int64)
+        x = t["v2"].to_numpy()[keep].astype(np.int64)
+        hi = max(int(x.max()), 1) + 1
+        key = c * hi + x
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.Table.from_pydict(
+            {"center": uk // hi, "context": uk % hi,
+             "n": cnt.astype(np.int64)}
+        )
+
+    return (
+        joined.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

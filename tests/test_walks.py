@@ -53,3 +53,40 @@ def test_walks_shard_invariance():
     a = _canon(random_walks(ds, n, length=5, seed=3, num_shards=1))
     b = _canon(random_walks(ds, n, length=5, seed=3, num_shards=5))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_skipgram_pairs_vs_python():
+    """skipgram_pairs vs pairs counted directly from the replay-oracle
+    corpus (forward window, same walk)."""
+    from collections import Counter
+
+    from ppagerank_ray.functions.walks import skipgram_pairs
+
+    n = 40
+    src, dst = _rand_graph(n, 200, seed=9)
+    ds = rd.from_arrow(pa.Table.from_pydict({"src": src, "dst": dst}))
+    corpus = random_walks(ds, n, length=5, seed=2, num_shards=3)
+    got = (
+        skipgram_pairs(corpus, window=2)
+        .to_pandas()
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+
+    exp_tbl = numpy_walk_oracle(src, dst, n, length=5, seed=2).to_pandas()
+    exp = Counter()
+    for _, grp in exp_tbl.groupby("walk_id"):
+        steps = grp.sort_values("step")[["step", "vertex"]].to_numpy()
+        for i in range(len(steps)):
+            for j in range(i + 1, len(steps)):
+                if steps[j, 0] - steps[i, 0] <= 2:
+                    exp[(steps[i, 1], steps[j, 1])] += 1
+    exp_df = (
+        pd.DataFrame(
+            [(c, x, v) for (c, x), v in exp.items()],
+            columns=["center", "context", "n"],
+        )
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
