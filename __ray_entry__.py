@@ -752,6 +752,14 @@ def _q_term_doc_freq(sf_dir: str):
     return term_doc_freq(_docs(sf_dir), k=100)
 
 
+def _q_tfidf(sf_dir: str):
+    """TF-IDF posting list: one row per distinct (doc_id, term) with tf
+    and tf·ln(N/df); df broadcast under the vocabulary gate."""
+    from ppagerank_ray.functions.textstats import tfidf
+
+    return tfidf(_docs(sf_dir))
+
+
 def _q_near_dup_jaccard(sf_dir: str):
     from ppagerank_ray.functions.dedup import near_dup_pairs
 
@@ -963,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "top_terms": _q_top_terms,
         "term_doc_freq": _q_term_doc_freq,
+        "tfidf": _q_tfidf,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_dedup": _q_near_dup_dedup,
         "minhash_candidates": _q_minhash_candidates,
@@ -1587,6 +1596,15 @@ WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE trim
 d AS (SELECT DISTINCT doc_id, term FROM toks)
 SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 100""",
+        "tfidf": f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE trim(text) <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+tdf AS (SELECT term, count(*)::BIGINT AS df
+        FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS v FROM documents)
+SELECT t.doc_id, t.term, t.tf,
+       round(t.tf * ln((SELECT v FROM n) / d.df), 6) AS tfidf
+FROM tf t JOIN tdf d ON t.term = d.term""",
         # SimHash: token hash = first 8 bytes of md5(token) (hi/lo 32-bit
         # halves to stay inside BIGINT); bit b of the signature is set iff
         # 2·(ones at b) > n_tokens; emitted as 16-char hex, identical to

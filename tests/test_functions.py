@@ -536,3 +536,40 @@ def test_top_terms_and_doc_freq_vs_counter():
     assert (
         list(map(tuple, got_df[["term", "df"]].itertuples(index=False))) == exp_df
     )
+
+
+def test_tfidf_paths_agree_and_match_python():
+    """tfidf broadcast vs forced hash-join path equality, and both vs a
+    direct python computation."""
+    import math
+
+    from ppagerank_ray.functions.textstats import tfidf
+
+    texts = ["b a a", "c b a", "", "d d c b", "a d"]
+    ds = rd.from_arrow(
+        pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+    ).repartition(3)
+
+    def canon(d):
+        return (
+            d.to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)[["doc_id", "term", "tf", "tfidf"]]
+        )
+
+    fast = canon(tfidf(ds))
+    slow = canon(tfidf(ds, max_broadcast_terms=-1))  # force the join path
+    assert fast.equals(slow)
+
+    from collections import Counter
+
+    df = Counter()
+    for x in texts:
+        df.update(set(x.split()))
+    n = float(len(texts))
+    exp = []
+    for did, x in enumerate(texts):
+        for term, tf in sorted(Counter(x.split()).items()):
+            exp.append((did, term, tf, round(tf * math.log(n / df[term]), 6)))
+    got = list(map(tuple, fast.itertuples(index=False)))
+    assert got == exp
