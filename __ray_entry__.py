@@ -909,6 +909,23 @@ def _q_events_windowed(sf_dir: str):
     return out.map_batches(roundv, batch_format="pyarrow")
 
 
+def _q_events_asof(sf_dir: str):
+    """Backward as-of join: each click matched to the user's latest view
+    at or before it — the custom-operator class Ray Data lacks natively;
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    import ray.data as rd
+
+    from ppagerank_ray.functions.windows import asof_join_events
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    # inner for the hash-compare: the driver harness can't hash NULL
+    # timestamps; left-join NaT semantics are pytest-covered
+    return asof_join_events(ev, how="inner")
+
+
 def _q_user_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -987,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resized": _q_media_resized,
         "events_windowed": _q_events_windowed,
         "user_sessions": _q_user_sessions,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -1708,6 +1726,11 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         # gaps-and-islands sessionization, 30-min timeout
+        "events_asof": """
+SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts""",
         "user_sessions": """
 WITH d AS (
   SELECT user_id, event_id, ts, value,

@@ -60,3 +60,53 @@ def sessionize(events: rd.Dataset, gap_sec: int = SESSION_GAP_SEC) -> rd.Dataset
         .groupby("user_id")
         .map_groups(sessions_of_user, batch_format="pandas")
     )
+
+
+def asof_join_events(
+    events: rd.Dataset, left_type: str = "click", right_type: str = "view",
+    how: str = "left",
+) -> rd.Dataset:
+    """Per-user backward AS-OF join — an operator Ray Data lacks natively
+    (build brief's custom-operator class): every `left_type` event is
+    matched to the LATEST `right_type` event of the same user with
+    right.ts <= left.ts (inclusive, like DuckDB's ASOF LEFT JOIN).
+
+    Composition: ONE user_id hash shuffle, then a vectorized searchsorted
+    per group — same partitioning assumption as sessionize (one user's
+    events fit one group; a pathological user would be salted by day).
+    Output (event_id, user_id, ts, view_ts); how="left" keeps unmatched
+    lefts with NULL view_ts, how="inner" drops them. The matched TIMESTAMP
+    (not event id) is emitted so equal-ts ties are deterministic."""
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    def asof_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values(["ts", "event_id"])
+        if left.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype=np.int64),
+                 "user_id": pd.Series([], dtype=np.int64),
+                 "ts": pd.Series([], dtype="datetime64[us]"),
+                 "view_ts": pd.Series([], dtype="datetime64[us]")}
+            )
+        right = g[g["event_type"] == right_type].sort_values(["ts", "event_id"])
+        lts = left["ts"].to_numpy().astype("datetime64[us]")
+        rts = right["ts"].to_numpy().astype("datetime64[us]")
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        view_ts = np.full(len(lts), np.datetime64("NaT", "us"))
+        ok = idx >= 0
+        if ok.any():
+            view_ts[ok] = rts[idx[ok]]
+        out = pd.DataFrame(
+            {"event_id": left["event_id"].to_numpy(),
+             "user_id": left["user_id"].to_numpy(),
+             "ts": lts,
+             "view_ts": view_ts}
+        )
+        return out[ok] if how == "inner" else out
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "event_type"])
+        .repartition(shuffle_blocks())
+        .groupby("user_id")
+        .map_groups(asof_of_user, batch_format="pandas")
+    )

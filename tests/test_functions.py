@@ -573,3 +573,36 @@ def test_tfidf_paths_agree_and_match_python():
             exp.append((did, term, tf, round(tf * math.log(n / df[term]), 6)))
     got = list(map(tuple, fast.itertuples(index=False)))
     assert got == exp
+
+
+def test_asof_join_events_hand_case():
+    """Backward as-of: latest view at-or-before each click per user;
+    left keeps unmatched clicks as NaT, inner drops them."""
+    import pandas as pd
+
+    from ppagerank_ray.functions.windows import asof_join_events
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:10",
+         "2024-01-01 00:03", "2024-01-01 00:01"]
+    )
+    ev = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_id": [0, 1, 2, 3, 4],
+                "ts": pa.array(ts.astype("datetime64[us]")),
+                # user 1: view@0, click@5 (→view@0), view@10
+                # user 2: click@3 (no prior view) ; view@1 is user 1's? no:
+                "user_id": [1, 1, 1, 2, 2],
+                "event_type": ["view", "click", "view", "click", "error"],
+            }
+        )
+    )
+    left = (
+        asof_join_events(ev, how="left").to_pandas().sort_values("event_id")
+    )
+    assert list(left.event_id) == [1, 3]
+    assert left.iloc[0].view_ts == ts[0]  # click@00:05 → view@00:00
+    assert pd.isna(left.iloc[1].view_ts)  # user 2 has no view
+    inner = asof_join_events(ev, how="inner").to_pandas()
+    assert list(inner.event_id) == [1]
