@@ -926,6 +926,33 @@ def _q_events_asof(sf_dir: str):
     return asof_join_events(ev, how="inner")
 
 
+def _q_event_sessions(sf_dir: str):
+    """Range join: each event → its containing session interval; oracle
+    joins events against the session [start, end] ranges with BETWEEN."""
+    import ray.data as rd
+
+    from ppagerank_ray.functions.windows import assign_sessions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return assign_sessions(ev)
+
+
+def _q_sliding_window(sf_dir: str):
+    """Trailing 5-minute sliding window per event (RANGE semantics):
+    count + value sum of the user's events in [ts − 5min, ts]."""
+    import ray.data as rd
+
+    from ppagerank_ray.functions.windows import sliding_window_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return sliding_window_counts(ev, window_sec=300)
+
+
 def _q_user_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -1005,6 +1032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "user_sessions": _q_user_sessions,
         "events_asof": _q_events_asof,
+        "event_sessions": _q_event_sessions,
+        "sliding_window": _q_sliding_window,
     }
 
 
@@ -1726,6 +1755,34 @@ SELECT event_type, date_trunc('hour', ts) AS window_start,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)""",
         # gaps-and-islands sessionization, 30-min timeout
+        "sliding_window": """
+SELECT event_id, user_id,
+       (count(*) OVER w)::BIGINT AS n_window,
+       round(sum(value) OVER w, 6) AS value_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW)""",
+        "event_sessions": """
+WITH d AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_sess) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+),
+ranges AS (
+  SELECT user_id, sess, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY user_id, sess
+)
+SELECT e.event_id, e.user_id, r.sess::BIGINT AS session_idx
+FROM events e JOIN ranges r
+  ON e.user_id = r.user_id AND e.ts BETWEEN r.st AND r.en""",
         "events_asof": """
 SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts
 FROM (SELECT * FROM events WHERE event_type = 'click') c

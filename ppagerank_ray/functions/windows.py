@@ -110,3 +110,68 @@ def asof_join_events(
         .groupby("user_id")
         .map_groups(asof_of_user, batch_format="pandas")
     )
+
+
+def assign_sessions(
+    events: rd.Dataset, gap_sec: int = SESSION_GAP_SEC
+) -> rd.Dataset:
+    """Range join: each event matched to its containing session interval
+    (the brief's range-join operator class). Sessions and membership are
+    co-derived per user — one user_id shuffle, then a vectorized
+    gaps-and-islands pass assigns every event its interval; equivalent to
+    joining events against [session_start, session_end] ranges (the SQL
+    oracle does exactly that BETWEEN join). Output
+    (event_id, user_id, session_idx)."""
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    def assign_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) > gap_sec * 1_000_000
+        sess = np.concatenate([[0], np.cumsum(gaps)]).astype(np.int64)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "session_idx": sess}
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id"])
+        .repartition(shuffle_blocks())
+        .groupby("user_id")
+        .map_groups(assign_of_user, batch_format="pandas")
+    )
+
+
+def sliding_window_counts(
+    events: rd.Dataset, window_sec: int = 300
+) -> rd.Dataset:
+    """Sliding (range) windowed aggregate — the brief's streaming-window
+    operator class: for every event, the count and value-sum of the SAME
+    user's events in the trailing interval [ts − window_sec, ts]
+    (inclusive both ends, matching SQL RANGE BETWEEN ... PRECEDING AND
+    CURRENT ROW). One user_id shuffle, two vectorized searchsorteds per
+    group; equal timestamps all share the window of their last peer, like
+    SQL RANGE semantics."""
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    def windows_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy().astype(np.float64)
+        lo = np.searchsorted(ts, ts - window_sec * 1_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # RANGE: include peers
+        csum = np.concatenate([[0.0], np.cumsum(val)])
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "n_window": (hi - lo).astype(np.int64),
+             "value_window": np.round(csum[hi] - csum[lo], 6)}
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id", "value"])
+        .repartition(shuffle_blocks())
+        .groupby("user_id")
+        .map_groups(windows_of_user, batch_format="pandas")
+    )

@@ -606,3 +606,36 @@ def test_asof_join_events_hand_case():
     assert pd.isna(left.iloc[1].view_ts)  # user 2 has no view
     inner = asof_join_events(ev, how="inner").to_pandas()
     assert list(inner.event_id) == [1]
+
+
+def test_sliding_window_counts_hand_case():
+    """Trailing RANGE window incl. equal-timestamp peers."""
+    import pandas as pd
+
+    from ppagerank_ray.functions.windows import sliding_window_counts
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:04", "2024-01-01 00:04",
+         "2024-01-01 00:10", "2024-01-01 00:30"]
+    )
+    ev = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "event_id": [0, 1, 2, 3, 4],
+                "ts": pa.array(ts.astype("datetime64[us]")),
+                "user_id": [7, 7, 7, 7, 7],
+                "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+            }
+        )
+    )
+    out = (
+        sliding_window_counts(ev, window_sec=300)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # 00:00 → [1]; 00:04 peers → both see [1,2,4]; 00:10 window covers
+    # 00:05..00:10 → [8]... wait: 00:10-5min = 00:05, so only itself;
+    # 00:30 → only itself
+    assert list(out.n_window) == [1, 3, 3, 1, 1]
+    assert list(out.value_window) == [1.0, 7.0, 7.0, 8.0, 16.0]
