@@ -808,6 +808,34 @@ def _q_ann_ivf(sf_dir: str):
     return ann_ivf(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
 
 
+def _q_media_decoded(sf_dir: str):
+    """REAL codec decode (round 3): netpbm images + PCM16 WAV synthesized
+    deterministically per doc_id, decoded with the stdlib+numpy codecs,
+    per-payload features from actual pixels/samples. Rows-only (SQL has
+    no WAV/netpbm decoder); codec roundtrips and feature values are
+    pytest-pinned (test_media_codecs_roundtrip, test_media_decode_real_*)."""
+    from ppagerank_ray.functions.multimodal import (
+        media_features,
+        synth_codec_media_from_documents,
+    )
+
+    feats = media_features(
+        synth_codec_media_from_documents(_docs(sf_dir)), decode=True
+    )
+
+    def flatten(t: pa.Table) -> pa.Table:
+        f = np.array(t["features"].to_pylist(), dtype=np.float64)
+        return pa.Table.from_pydict(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                **{f"f{i}": f[:, i] for i in range(f.shape[1])},
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     from ppagerank_ray.functions.multimodal import (
         media_features,
@@ -1027,6 +1055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         # multimodal + events
         "media_features": _q_media_features,
+        "media_decoded": _q_media_decoded,
         "media_frames": _q_media_frames,
         "media_resized": _q_media_resized,
         "events_windowed": _q_events_windowed,

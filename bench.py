@@ -51,7 +51,7 @@ class _ContentionSampler:
         import threading
 
         self.interval = interval
-        self.samples: list[float] = []
+        self.samples: list[tuple[float, float]] = []  # (wall ts, cores)
         self.root = os.getpid()
         self.hz = os.sysconf("SC_CLK_TCK") or 100
         self._stop = threading.Event()
@@ -96,25 +96,36 @@ class _ContentionSampler:
             # final partial slice briefly misattributes to co-tenants)
             tree = sum(j - t0.get(pid, 0) for pid, j in t1.items())
             cores = ((b1 - b0) - tree) / self.hz / self.interval
-            self.samples.append(round(min(max(cores, 0.0), ncpu), 2))
+            self.samples.append(
+                (time.time(), round(min(max(cores, 0.0), ncpu), 2))
+            )
             b0, t0 = b1, t1
 
     def start(self) -> None:
         self._thread.start()
 
-    def summary(self) -> dict:
+    def summary(self, marks: list | None = None) -> dict:
         self._stop.set()
         self._thread.join(timeout=5)
-        s = sorted(self.samples)
+        s = sorted(c for _, c in self.samples)
         if not s:
             return {"samples": 0}
-        return {
+        out = {
             "samples": len(s),
             "co_tenant_cores_p50": s[len(s) // 2],
             "co_tenant_cores_p90": s[int(len(s) * 0.9)],
             "co_tenant_cores_max": s[-1],
             "loadavg_end": [round(v, 1) for v in os.getloadavg()],
         }
+        if marks:
+            spans = marks + [(time.time(), "_end")]
+            per = {}
+            for (t0, name), (t1, _) in zip(spans, spans[1:]):
+                vals = sorted(c for ts, c in self.samples if t0 <= ts < t1)
+                if vals:
+                    per[name] = vals[len(vals) // 2]
+            out["phase_co_tenant_p50"] = per
+        return out
 
 
 def run_bench() -> dict:
@@ -127,6 +138,10 @@ def run_bench() -> dict:
 
     contention = _ContentionSampler()
     contention.start()
+    phase_marks: list = []
+
+    def mark(name: str) -> None:
+        phase_marks.append((time.time(), name))
 
     ray.init(
         address="local",
@@ -192,6 +207,8 @@ def run_bench() -> dict:
     T = max(1, num_cpus // P)
 
     # --- e2e pipeline ---
+    mark("e2e_pipeline")
+
     def run_e2e():
         gt = build_graph(synth_pages(sf_dir, replicate=replicate))
         eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
@@ -207,6 +224,7 @@ def run_bench() -> dict:
     extra["e2e_pages_per_sec"] = round(gt.n_vertices / queries["e2e_pipeline"])
 
     # --- pagerank on the large formula graph (primary metric) ---
+    mark("pagerank")
     nv = n_vertices_for(bench_pages)
     edges = synth_edges(bench_pages, parallelism=num_cpus * 4)
 
@@ -243,6 +261,8 @@ def run_bench() -> dict:
     extra["edges_per_sec"] = round(n_edges / p20)
 
     # --- components to fixpoint on the e2e graph ---
+    mark("components")
+
     def run_cc():
         eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
         eng.load_undirected(build_undirected(gt.edges), presorted=True)
@@ -254,6 +274,7 @@ def run_bench() -> dict:
     extra["components_rounds"] = cc["rounds"]
 
     # --- triangle count on the e2e graph ---
+    mark("triangle_count")
     from ppagerank_ray.algos.triangles import triangle_count
 
     queries["triangle_count"], extra["triangles"] = best_of(
@@ -261,6 +282,7 @@ def run_bench() -> dict:
     )
 
     # --- minhash signatures: compute-bound stateless map over page texts ---
+    mark("minhash_text")
     docs_rep = (
         synth_pages(sf_dir, replicate=max(1, replicate // 2))
         .select_columns(["text"])
@@ -290,19 +312,21 @@ def run_bench() -> dict:
     extra["minhash_docs_per_sec"] = round(n_sig_docs / best)
 
     # --- dedup + knn on the raw sf tables ---
+    mark("minhash_dedup")
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
     queries["minhash_dedup"], pairs = best_of(
         lambda: near_dup_pairs(docs, threshold=0.7)
     )
     extra["near_dup_pairs"] = pairs.num_rows
 
+    mark("knn")
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     queries["knn"], _ = best_of(
         lambda: knn_bruteforce(emb, [0, 1, 2, 3, 4], k=10)
     )
 
     ray.shutdown()
-    extra["contention"] = contention.summary()
+    extra["contention"] = contention.summary(phase_marks)
     return {
         "metric": "link-graph pipeline seconds (e2e + PageRank-to-1e-6 + components + triangles + minhash + dedup + knn)",
         "value": round(sum(queries.values()), 3),

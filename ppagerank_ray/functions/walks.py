@@ -9,8 +9,10 @@ ppagerank.cc; walk sampling is the embedding-era counterpart).
 Scale shape — the vertex engine's all-to-all, not a per-step join:
 
 * **Adjacency shards** (actor pool, state built ONCE): shard p holds a
-  hash-partitioned CSR of the srcs with `hash(src) % P == p`, built by
-  zero-copy-filtering the edge blocks. No driver-side O(E) or O(V) state.
+  hash-partitioned CSR of the srcs with `hash(src) % P == p`, fed by ONE
+  bucketing pass over the edge blocks (`_bucket_block`, num_returns=P) —
+  every edge is read once total, not once per shard. No driver-side O(E)
+  or O(V) state.
 * **Walk shards** (actor pool): shard q owns walk_ids ≡ q (mod Q), holding
   (pos, alive) arrays plus its slice of the growing corpus. Per step, each
   walk shard scatters (local_idx, pos) requests split by target adjacency
@@ -54,20 +56,32 @@ def step_choices(
         return (h % degs.astype(np.uint64)).astype(np.int64)
 
 
+@ray.remote
+def _bucket_block(t: pa.Table, P: int) -> list:
+    """ONE pass over an edge block → P hash-bucket sub-tables (src % P),
+    so adjacency construction reads every edge once total instead of once
+    per shard."""
+    if t.num_rows == 0:
+        return [t] * P
+    s = t["src"].to_numpy().astype(np.int64)
+    order = np.argsort(s % P, kind="stable")
+    sorted_mod = (s % P)[order]
+    bounds = np.searchsorted(sorted_mod, np.arange(P + 1))
+    tt = t.take(pa.array(order))
+    return [tt.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+
+
 class _AdjShard:
     """CSR over the srcs hashed to this shard (hash = src % P, stable)."""
 
-    def __init__(self, pid: int, P: int, block_refs) -> None:
+    def __init__(self, pid: int, P: int, bucket_refs) -> None:
         self.pid, self.P = pid, P
         srcs, dsts = [], []
-        for t in ray.get(list(block_refs)):
+        for t in ray.get(list(bucket_refs)):
             if t.num_rows == 0:
                 continue
-            s = t["src"].to_numpy().astype(np.int64)
-            keep = (s % P) == pid
-            if keep.any():
-                srcs.append(s[keep])
-                dsts.append(t["dst"].to_numpy().astype(np.int64)[keep])
+            srcs.append(t["src"].to_numpy().astype(np.int64))
+            dsts.append(t["dst"].to_numpy().astype(np.int64))
         if srcs:
             s = np.concatenate(srcs)
             d = np.concatenate(dsts)
@@ -176,7 +190,16 @@ def random_walks(
     Deterministic for fixed seed — invariant to num_shards."""
     P = Q = max(1, int(num_shards))
     refs = edges.select_columns(["src", "dst"]).to_arrow_refs()
-    adj = [AdjShard.remote(p, P, refs) for p in range(P)]
+    if P == 1:
+        adj = [AdjShard.remote(0, 1, refs)]
+    else:
+        bucket_mat = [
+            _bucket_block.options(num_returns=P).remote(r, P) for r in refs
+        ]
+        adj = [
+            AdjShard.remote(p, P, [row[p] for row in bucket_mat])
+            for p in range(P)
+        ]
     ray.get([a.ready.remote() for a in adj])
     walks = [
         WalkShard.remote(q, Q, P, n_vertices, walks_per_vertex)
