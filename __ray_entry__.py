@@ -627,6 +627,21 @@ def _q_random_walks(sf_dir: str):
     )
 
 
+def _q_node2vec_walks(sf_dir: str):
+    """node2vec biased walks (p=0.5 return-favoring, q=2 BFS-ish) via
+    deterministic rejection sampling — rows-only (the rejection loop's
+    membership joins are not reasonably SQL-expressible; exact conformance
+    is pytest-owned: bit-identity to random_walks at p=q=1, sequential
+    numpy replay at p=0.5/q=2, shard invariance, bias direction)."""
+    from ppagerank_ray.functions.walks import node2vec_walks
+
+    gt = _graph(sf_dir)
+    return node2vec_walks(
+        gt.edges, gt.n_vertices, length=WALK_LEN, p=0.5, q=2.0,
+        walks_per_vertex=1, seed=0, num_shards=4,
+    )
+
+
 def _q_skipgram_pairs(sf_dir: str):
     """Skip-gram (center, context) co-occurrence counts from the walk
     corpus — the DeepWalk→word2vec training input. Window 2, forward
@@ -1027,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "random_walks": _q_random_walks,
         "skipgram_pairs": _q_skipgram_pairs,
+        "node2vec_walks": _q_node2vec_walks,
         # convergence-driven / approximate variants (rows-only; pytest owns
         # conformance)
         "neighborhood_function": _q_hyperanf,

@@ -330,3 +330,332 @@ def skipgram_pairs(
         .groupby(["center", "context"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# ---------- node2vec biased walks (second-order, rejection-sampled) ----------
+
+_K3 = np.uint64(0xD6E8FEB86659FD93)  # attempt stride (distinct stream)
+_K4 = np.uint64(0xA24BAED4963EE407)  # accept-uniform stream salt
+
+
+def _counter_hash(walk_ids, step, attempt, seed, salt=np.uint64(0)):
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            walk_ids.astype(np.uint64) * _K1
+            + np.uint64(step) * _K2
+            + np.uint64(attempt) * _K3
+            + np.uint64(seed)
+            + salt
+        )
+
+
+def biased_step_choices(walk_ids, step, attempt, seed, degs):
+    """Proposal index for (step, attempt). attempt=0 reproduces
+    step_choices exactly (K3·0 = 0), so p=q=1 node2vec — which accepts
+    every first proposal — emits bit-identical corpora to random_walks."""
+    h = _counter_hash(walk_ids, step, attempt, seed)
+    with np.errstate(over="ignore"):
+        return (h % degs.astype(np.uint64)).astype(np.int64)
+
+
+def accept_uniforms(walk_ids, step, attempt, seed) -> np.ndarray:
+    """Deterministic U[0,1) per (walk, step, attempt) for the rejection
+    test."""
+    h = _counter_hash(walk_ids, step, attempt, seed, salt=_K4)
+    return h.astype(np.float64) / float(1 << 64)
+
+
+class _N2VAdjShard(_AdjShard):
+    """Adjacency shard + pair-membership index (structured-dtype binary
+    search — safe at any V, no key-packing overflow)."""
+
+    def __init__(self, pid: int, P: int, bucket_refs) -> None:
+        super().__init__(pid, P, bucket_refs)
+        n = len(self.indices)
+        pairs = np.empty(n, dtype=[("s", "<i8"), ("d", "<i8")])
+        # CSR back to per-edge src: run-length expand uniq by row degree
+        degs = np.diff(self.indptr)
+        pairs["s"] = np.repeat(self.uniq, degs)
+        pairs["d"] = self.indices
+        self.pairs = pairs  # (src,dst)-lexsorted by construction
+
+    def propose(self, step: int, seed: int, attempt: int, *requests):
+        """Per walk shard: (wid, pos) → proposed next vertex (-1 dangling)."""
+        out = []
+        for wid, pos in requests:
+            nxt = np.full(len(pos), -1, dtype=np.int64)
+            if len(pos) and len(self.uniq):
+                row = np.searchsorted(self.uniq, pos)
+                row_ok = (row < len(self.uniq)) & (
+                    self.uniq[np.minimum(row, len(self.uniq) - 1)] == pos
+                )
+                if row_ok.any():
+                    r = row[row_ok]
+                    deg = self.indptr[r + 1] - self.indptr[r]
+                    idx = biased_step_choices(
+                        wid[row_ok], step, attempt, seed, deg
+                    )
+                    nxt[row_ok] = self.indices[self.indptr[r] + idx]
+            out.append(nxt)
+        return out if len(out) > 1 else out[0]
+
+    def member(self, *requests):
+        """Per walk shard: (u, x) pair arrays → bool 'x ∈ N_out(u)'."""
+        out = []
+        for u, x in requests:
+            if len(u) == 0 or len(self.pairs) == 0:
+                out.append(np.zeros(len(u), bool))
+                continue
+            q = np.empty(len(u), dtype=self.pairs.dtype)
+            q["s"], q["d"] = u, x
+            i = np.searchsorted(self.pairs, q)
+            i_c = np.minimum(i, len(self.pairs) - 1)
+            out.append((i < len(self.pairs)) & (self.pairs[i_c] == q))
+        return out if len(out) > 1 else out[0]
+
+
+class _N2VWalkShard(_WalkShard):
+    """Walk shard with second-order state (prev vertex) and the
+    rejection-sampling bookkeeping for one step."""
+
+    def __init__(self, qid, Q, P, n_vertices, walks_per_vertex,
+                 p: float, q: float) -> None:
+        super().__init__(qid, Q, P, n_vertices, walks_per_vertex)
+        self.prev = np.full(len(self.wid), -1, dtype=np.int64)
+        self.inv_p, self.inv_q = 1.0 / p, 1.0 / q
+        self.wmax = max(self.inv_p, 1.0, self.inv_q)
+
+    def begin_step(self):
+        self._pending = np.flatnonzero(self.alive)
+        self._proposal = np.full(len(self.wid), -1, dtype=np.int64)
+
+    def scatter_pending_by_pos(self):
+        """(wid, pos) requests for the still-rejected walks, by shard(pos)."""
+        pend = self._pending
+        tgt = self.pos[pend] % self.P
+        order = np.argsort(tgt, kind="stable")
+        pend = pend[order]
+        bounds = np.searchsorted(tgt[order], np.arange(self.P + 1))
+        self._pend_by_tgt = [
+            pend[bounds[p]: bounds[p + 1]] for p in range(self.P)
+        ]
+        reqs = [(self.wid[ix], self.pos[ix]) for ix in self._pend_by_tgt]
+        return reqs if self.P > 1 else reqs[0]
+
+    def take_proposals(self, *answers):
+        """Store proposals; dangling walks die immediately. Then emit the
+        membership queries (prev, proposal) routed by shard(prev).
+        First-step walks (prev == -1) skip membership (uniform step)."""
+        for ix, nxt in zip(self._pend_by_tgt, answers):
+            if len(ix) == 0:
+                continue
+            dead = nxt < 0
+            self.alive[ix[dead]] = False
+            self._proposal[ix[~dead]] = nxt[~dead]
+        self._pending = self._pending[self.alive[self._pending]]
+        pend = self._pending
+        tgt = np.where(self.prev[pend] >= 0, self.prev[pend] % self.P, 0)
+        order = np.argsort(tgt, kind="stable")
+        self._memq_by_tgt = []
+        pend = pend[order]
+        bounds = np.searchsorted(tgt[order], np.arange(self.P + 1))
+        self._memq_by_tgt = [
+            pend[bounds[p]: bounds[p + 1]] for p in range(self.P)
+        ]
+        reqs = [
+            (self.prev[ix], self._proposal[ix]) for ix in self._memq_by_tgt
+        ]
+        return reqs if self.P > 1 else reqs[0]
+
+    def resolve(self, step: int, seed: int, attempt: int,
+                force: bool, *member_answers) -> int:
+        """Accept/reject; returns number of walks still pending.
+        force=True (the max_attempts backstop) accepts every pending
+        proposal — deterministic, negligible bias at sane p/q."""
+        for ix, mem in zip(self._memq_by_tgt, member_answers):
+            if len(ix) == 0:
+                continue
+            x = self._proposal[ix]
+            u = self.prev[ix]
+            w = np.where(
+                x == u, self.inv_p, np.where(mem, 1.0, self.inv_q)
+            )
+            w = np.where(u < 0, self.wmax, w)  # first step: uniform
+            if force:
+                acc = np.ones(len(ix), bool)
+            else:
+                acc = accept_uniforms(self.wid[ix], step, attempt, seed) < (
+                    w / self.wmax
+                )
+            ok = ix[acc]
+            self.prev[ok] = self.pos[ok]
+            self.pos[ok] = x[acc]
+            self.corpus_w.append(self.wid[ok])
+            self.corpus_s.append(np.full(len(ok), step, np.int64))
+            self.corpus_v.append(self.pos[ok])
+            keep = np.zeros(len(self.alive), bool)
+            keep[self._pending] = True
+            keep[ok] = False
+            self._pending = np.flatnonzero(keep & self.alive)
+        return len(self._pending)
+
+
+N2VAdjShard = ray.remote(num_cpus=0)(_N2VAdjShard)
+N2VWalkShard = ray.remote(num_cpus=0)(_N2VWalkShard)
+
+
+def node2vec_walks(
+    edges: rd.Dataset,
+    n_vertices: int,
+    length: int = 8,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+    num_shards: int = 4,
+    max_attempts: int = 64,
+) -> rd.Dataset:
+    """node2vec second-order biased walks (Grover & Leskovec 2016) via
+    DETERMINISTIC rejection sampling (the KnightKing strategy): propose a
+    uniform out-neighbor of cur, accept with probability w/wmax where w =
+    1/p if proposal == prev, 1 if proposal ∈ N_out(prev), else 1/q — no
+    per-(prev,cur) alias tables, so state stays O(E) total. Membership
+    queries route to the shard owning prev (structured-dtype binary
+    search over the (src,dst)-sorted pair index). All proposal/accept
+    randomness is splitmix64 counters ⇒ shard-count invariant, replayable
+    (numpy oracle below), and p=q=1 emits BIT-IDENTICAL corpora to
+    random_walks. After max_attempts rejections a walk accepts its last
+    proposal (deterministic, negligible bias at sane p/q — documented)."""
+    P = Q = max(1, int(num_shards))
+    refs = edges.select_columns(["src", "dst"]).to_arrow_refs()
+    if P == 1:
+        adj = [N2VAdjShard.remote(0, 1, refs)]
+    else:
+        bucket_mat = [
+            _bucket_block.options(num_returns=P).remote(r, P) for r in refs
+        ]
+        adj = [
+            N2VAdjShard.remote(p_, P, [row[p_] for row in bucket_mat])
+            for p_ in range(P)
+        ]
+    ray.get([a.ready.remote() for a in adj])
+    walks = [
+        N2VWalkShard.remote(q_, Q, P, n_vertices, walks_per_vertex, p, q)
+        for q_ in range(Q)
+    ]
+    for step in range(1, length + 1):
+        ray.get([w.begin_step.remote() for w in walks])
+        for attempt in range(max_attempts):
+            force = attempt == max_attempts - 1
+            req_mat = [
+                w.scatter_pending_by_pos.options(num_returns=P).remote()
+                for w in walks
+            ]
+            if P == 1:
+                req_mat = [[r] for r in req_mat]
+            prop_mat = [
+                adj[p_].propose.options(num_returns=Q).remote(
+                    step, seed, attempt, *[req_mat[q_][p_] for q_ in range(Q)]
+                )
+                for p_ in range(P)
+            ]
+            if Q == 1:
+                prop_mat = [[a] for a in prop_mat]
+            memq_mat = [
+                w.take_proposals.options(num_returns=P).remote(
+                    *[prop_mat[p_][q_] for p_ in range(P)]
+                )
+                for q_, w in enumerate(walks)
+            ]
+            if P == 1:
+                memq_mat = [[m] for m in memq_mat]
+            mem_mat = [
+                adj[p_].member.options(num_returns=Q).remote(
+                    *[memq_mat[q_][p_] for q_ in range(Q)]
+                )
+                for p_ in range(P)
+            ]
+            if Q == 1:
+                mem_mat = [[m] for m in mem_mat]
+            pending = ray.get(
+                [
+                    w.resolve.remote(
+                        step, seed, attempt, force,
+                        *[mem_mat[p_][q_] for p_ in range(P)],
+                    )
+                    for q_, w in enumerate(walks)
+                ]
+            )
+            if sum(pending) == 0:
+                break
+    tables = ray.get([w.corpus.remote() for w in walks])
+    out = rd.from_arrow(tables)
+    for w in walks + adj:
+        ray.kill(w)
+    return out
+
+
+def numpy_node2vec_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_vertices: int,
+    length: int = 8,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+    max_attempts: int = 64,
+) -> "pa.Table":
+    """Independent sequential replay of the node2vec rejection sampler
+    (for tests): same counters, same neighbor order, same force-accept
+    backstop."""
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    uniq, counts = np.unique(s, return_counts=True)
+    indptr = np.concatenate([[0], np.cumsum(counts)])
+    pairset = set(zip(s.tolist(), d.tolist()))
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    wmax = max(inv_p, 1.0, inv_q)
+    total = n_vertices * walks_per_vertex
+    rows_w, rows_s, rows_v = [], [], []
+    for wid in range(total):
+        prev, pos = -1, wid % n_vertices
+        rows_w.append(wid), rows_s.append(0), rows_v.append(pos)
+        for step in range(1, length + 1):
+            r = np.searchsorted(uniq, pos)
+            if r >= len(uniq) or uniq[r] != pos:
+                break  # dangling
+            deg = int(indptr[r + 1] - indptr[r])
+            wid_a = np.array([wid], np.int64)
+            accepted = None
+            for attempt in range(max_attempts):
+                idx = int(
+                    biased_step_choices(
+                        wid_a, step, attempt, seed, np.array([deg], np.int64)
+                    )[0]
+                )
+                x = int(d[indptr[r] + idx])
+                if prev < 0:
+                    w = wmax
+                elif x == prev:
+                    w = inv_p
+                elif (prev, x) in pairset:
+                    w = 1.0
+                else:
+                    w = inv_q
+                if (
+                    attempt == max_attempts - 1
+                    or accept_uniforms(wid_a, step, attempt, seed)[0]
+                    < w / wmax
+                ):
+                    accepted = x
+                    break
+            prev, pos = pos, accepted
+            rows_w.append(wid), rows_s.append(step), rows_v.append(pos)
+    return pa.Table.from_pydict(
+        {
+            "walk_id": np.array(rows_w, np.int64),
+            "step": np.array(rows_s, np.int64),
+            "vertex": np.array(rows_v, np.int64),
+        }
+    )

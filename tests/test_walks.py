@@ -90,3 +90,79 @@ def test_skipgram_pairs_vs_python():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+
+
+def test_node2vec_p1q1_equals_uniform_walks():
+    """With p=q=1 every proposal is accepted on attempt 0 and the counter
+    streams coincide, so node2vec emits a BIT-IDENTICAL corpus to
+    random_walks."""
+    from ppagerank_ray.functions.walks import node2vec_walks
+
+    n = 60
+    src, dst = _rand_graph(n, 350, seed=11)
+    ds = rd.from_arrow(pa.Table.from_pydict({"src": src, "dst": dst}))
+    uni = _canon(random_walks(ds, n, length=5, seed=4, num_shards=4))
+    n2v = _canon(
+        node2vec_walks(ds, n, length=5, p=1.0, q=1.0, seed=4, num_shards=4)
+    )
+    pd.testing.assert_frame_equal(uni, n2v)
+
+
+def test_node2vec_matches_replay_and_shards():
+    from ppagerank_ray.functions.walks import (
+        node2vec_walks,
+        numpy_node2vec_oracle,
+    )
+
+    n = 50
+    src, dst = _rand_graph(n, 300, seed=13)
+    # symmetrize so returns and triangles exist (all three weight classes)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    key = s2 * n + d2
+    uniq = np.unique(key)
+    src, dst = uniq // n, uniq % n
+    ds = rd.from_arrow(pa.Table.from_pydict({"src": src, "dst": dst}))
+    got = _canon(
+        node2vec_walks(ds, n, length=5, p=0.5, q=2.0, seed=7, num_shards=4)
+    )
+    exp = _canon(
+        numpy_node2vec_oracle(src, dst, n, length=5, p=0.5, q=2.0, seed=7)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    one = _canon(
+        node2vec_walks(ds, n, length=5, p=0.5, q=2.0, seed=7, num_shards=1)
+    )
+    pd.testing.assert_frame_equal(got, one)
+
+
+def test_node2vec_bias_direction():
+    """Small p favors immediate returns; large p suppresses them —
+    measured on a symmetrized graph over many walks."""
+    from ppagerank_ray.functions.walks import node2vec_walks
+
+    n = 40
+    src, dst = _rand_graph(n, 240, seed=17)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    key = s2 * n + d2
+    uniq = np.unique(key)
+    src, dst = uniq // n, uniq % n
+    ds = rd.from_arrow(pa.Table.from_pydict({"src": src, "dst": dst}))
+
+    def return_rate(p, q):
+        t = node2vec_walks(
+            ds, n, length=8, p=p, q=q, walks_per_vertex=6, seed=1,
+            num_shards=3,
+        ).to_pandas().sort_values(["walk_id", "step"])
+        by_walk = t.groupby("walk_id")["vertex"].apply(list)
+        ret = tot = 0
+        for seq in by_walk:
+            for i in range(2, len(seq)):
+                tot += 1
+                ret += seq[i] == seq[i - 2]
+        return ret / max(tot, 1)
+
+    low_p = return_rate(0.25, 1.0)   # returns boosted 4x
+    high_p = return_rate(4.0, 1.0)   # returns damped 4x
+    assert low_p > high_p * 1.5, (low_p, high_p)
