@@ -629,16 +629,16 @@ def _q_random_walks(sf_dir: str):
 
 def _q_node2vec_walks(sf_dir: str):
     """node2vec biased walks (p=0.5 return-favoring, q=2 BFS-ish) via
-    deterministic rejection sampling — rows-only (the rejection loop's
-    membership joins are not reasonably SQL-expressible; exact conformance
-    is pytest-owned: bit-identity to random_walks at p=q=1, sequential
-    numpy replay at p=0.5/q=2, shard invariance, bias direction)."""
+    deterministic rejection sampling — FULLY SQL-oracled: the rejection
+    loop (4 attempts + force-accept, matched on both sides) unrolls into
+    proposal / membership / accept CTEs with the splitmix64 counters
+    reproduced bit-for-bit (see _node2vec_sql)."""
     from ppagerank_ray.functions.walks import node2vec_walks
 
     gt = _graph(sf_dir)
     return node2vec_walks(
         gt.edges, gt.n_vertices, length=WALK_LEN, p=0.5, q=2.0,
-        walks_per_vertex=1, seed=0, num_shards=4,
+        walks_per_vertex=1, seed=0, num_shards=4, max_attempts=4,
     )
 
 
@@ -1209,6 +1209,104 @@ w0 AS MATERIALIZED (SELECT id AS walk_id, id AS pos FROM verts)""",
     return "WITH " + "".join(parts) + "\n" + unions
 
 
+def _node2vec_sql(
+    length: int, p: float, q: float, seed: int = 0, max_attempts: int = 4
+) -> str:
+    """Exact SQL replay of the node2vec rejection sampler
+    (functions/walks.py): per (step, attempt) a proposal join against the
+    row_number-ranked adjacency, a LEFT-JOIN membership test x ∈ N(prev),
+    and the accept comparison u < w/wmax with u = splitmix64/2^64 (DOUBLE
+    cast matches numpy's round-to-nearest) — force-accept at the last
+    attempt, mirroring the engine's backstop. Both sides run the same
+    max_attempts. Weight ratios are exact powers of two for the query's
+    p=0.5 / q=2, so no float divergence."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    K2 = 0x9E3779B97F4A7C15
+    K3 = 0xD6E8FEB86659FD93
+    K4 = 0xA24BAED4963EE407
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    def sm64_chain(prefix: str, carry: list, src: str, counter: str):
+        cols = ", ".join(carry)
+        return [
+            f"{prefix}0 AS (SELECT {cols}, (({counter})::HUGEINT % {M})::UBIGINT AS z FROM {src})",
+            f"{prefix}1 AS (SELECT {cols}, ((z::HUGEINT + {C1}) % {M})::UBIGINT AS z FROM {prefix}0)",
+            f"{prefix}2 AS (SELECT {cols}, {mulmod('xor(z, z >> 30)', C2)} AS z FROM {prefix}1)",
+            f"{prefix}3 AS (SELECT {cols}, {mulmod('xor(z, z >> 27)', C3)} AS z FROM {prefix}2)",
+            f"{prefix}h AS (SELECT {cols}, xor(z, z >> 31) AS h FROM {prefix}3)",
+        ], f"{prefix}h"
+
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    wmax = max(inv_p, 1.0, inv_q)
+    parts = [_GRAPH_CTES]
+    parts.append(""", adjr AS MATERIALIZED (
+  SELECT src, dst, (row_number() OVER (PARTITION BY src ORDER BY dst) - 1)::BIGINT AS r
+  FROM edges),
+wdeg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS c FROM edges GROUP BY src),
+w0 AS MATERIALIZED (SELECT id AS walk_id, CAST(-1 AS BIGINT) AS prev, id AS pos FROM verts)""")
+    for t in range(1, length + 1):
+        tk2 = (t * K2) % M
+        parts.append(f""", p{t}_0 AS (
+  SELECT w.walk_id, w.prev, w.pos, d.c
+  FROM w{t-1} w JOIN wdeg d ON w.pos = d.src)""")
+        acc_names = []
+        for a in range(max_attempts):
+            ak3 = (a * K3) % M
+            counter = f"walk_id::HUGEINT * {K1} + {tk2} + {ak3} + {seed}"
+            ch1, h1 = sm64_chain(
+                f"i{t}_{a}_", ["walk_id", "prev", "pos", "c"],
+                f"p{t}_{a}", counter,
+            )
+            parts.append(", " + ",\n".join(ch1))
+            parts.append(f""", x{t}_{a} AS (
+  SELECT j.walk_id, j.prev, j.pos, j.c, ad.dst AS x
+  FROM {h1} j JOIN adjr ad
+    ON ad.src = j.pos AND ad.r = (j.h % j.c::UBIGINT)::BIGINT)""")
+            counter2 = (
+                f"(walk_id::HUGEINT * {K1} + {tk2} + {ak3} + {seed} + {K4}) % {M}"
+            )
+            ch2, h2 = sm64_chain(
+                f"u{t}_{a}_", ["walk_id", "prev", "pos", "c", "x"],
+                f"x{t}_{a}", counter2,
+            )
+            parts.append(", " + ",\n".join(ch2))
+            parts.append(f""", d{t}_{a} AS (
+  SELECT j.walk_id, j.prev, j.pos, j.c, j.x,
+         (j.h::DOUBLE / 18446744073709551616.0) AS u,
+         CASE WHEN j.prev < 0 THEN {wmax}
+              WHEN j.x = j.prev THEN {inv_p}
+              WHEN m.src IS NOT NULL THEN 1.0
+              ELSE {inv_q} END AS w
+  FROM {h2} j LEFT JOIN adjr m ON m.src = j.prev AND m.dst = j.x)""")
+            force = "TRUE" if a == max_attempts - 1 else "FALSE"
+            parts.append(f""", a{t}_{a} AS (
+  SELECT walk_id, pos AS prev, x AS pos FROM d{t}_{a}
+  WHERE {force} OR u < w / {wmax})""")
+            acc_names.append(f"a{t}_{a}")
+            if a < max_attempts - 1:
+                parts.append(f""", p{t}_{a+1} AS (
+  SELECT walk_id, prev, pos, c FROM d{t}_{a}
+  WHERE NOT ({force} OR u < w / {wmax}))""")
+        parts.append(
+            f", w{t} AS MATERIALIZED ("
+            + " UNION ALL ".join("SELECT * FROM " + n for n in acc_names)
+            + ")"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT walk_id, {t}::BIGINT AS step, pos AS vertex FROM w{t}"
+        for t in range(length + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
 def _host_pagerank_sql(iters: int, alpha: float = ALPHA) -> str:
     """Fixed-iteration WEIGHTED PageRank unroll over the host graph:
     edge weight = page-link count, row-normalized by weighted out-degree
@@ -1613,6 +1711,7 @@ GROUP BY hv.host""",
         ),
         "host_pagerank": _host_pagerank_sql(PR_ITERS),
         "random_walks": _walks_sql(WALK_LEN, seed=0),
+        "node2vec_walks": _node2vec_sql(WALK_LEN, p=0.5, q=2.0, seed=0),
         "skipgram_pairs": f"""WITH corpus AS ({_walks_sql(WALK_LEN, seed=0)})
 SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
 FROM corpus a JOIN corpus b
