@@ -574,6 +574,29 @@ def _q_hyperanf(sf_dir: str):
     )
 
 
+def _q_betweenness(sf_dir: str):
+    """Sampled Brandes betweenness: 32 deterministic seeds, unbiased
+    V/k-scaled estimator, halved for undirected pairs — level-synchronized
+    masked SpMVs over the engine. Rows-only (per-seed BFS + level unrolls
+    are impractical in SQL); exact-vs-networkx conformance and the
+    seed-linearity that makes sampling unbiased are pytest-owned
+    (tests/test_structure.py::test_betweenness_*)."""
+    from ppagerank_ray.algos.betweenness import betweenness_table
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+    from ppagerank_ray.graph.build import build_undirected
+
+    gt = _graph(sf_dir)
+    und = build_undirected(gt.edges).materialize()
+    eng = VertexEngine(gt.n_vertices, num_partitions=4)
+    eng.load_undirected(und, presorted=True)
+    eng.load_directed(und)
+    step = max(1, gt.n_vertices // 32)
+    seeds = list(range(0, gt.n_vertices, step))[:32]
+    tbl, _ = betweenness_table(eng, seeds=seeds)
+    eng.shutdown()
+    return tbl
+
+
 def _q_effective_diameter(sf_dir: str):
     """HyperANF 90% effective diameter (Boldi-Rosa-Vigna): smallest t with
     N(t) ≥ 0.9·N(∞), linearly interpolated — approximate by construction
@@ -1047,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conformance)
         "neighborhood_function": _q_hyperanf,
         "effective_diameter": _q_effective_diameter,
+        "betweenness": _q_betweenness,
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
         "pagerank_arnoldi": _q_pagerank_arnoldi,

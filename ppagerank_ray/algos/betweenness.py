@@ -1,0 +1,105 @@
+"""Betweenness centrality (Brandes 2001) over the vertex engine —
+level-synchronized, expressed entirely in engine primitives.
+
+For each source s (all vertices = exact; a sample = the standard unbiased
+estimator, scaled by V/|S|):
+
+1. hop distances from s — the existing BFS fixpoint (`bfs_distances`,
+   undirected rounds);
+2. shortest-path counts σ by ascending level: σ_L = SpMV(σ·[dist = L−1])
+   masked to [dist = L] — the symmetrized DIRECTED edge load makes the
+   engine's SpMV the undirected adjacency multiply;
+3. dependencies δ by descending level:
+   δ_L += σ · SpMV([dist = L+1]·(1+δ)/σ) masked to [dist = L]
+   (Brandes' accumulation, one SpMV per level).
+
+Every per-level op is a fused masked-BLAS worker method (vec_mask_eq /
+vec_add_masked / vec_ratio_masked / vec_mul_add_masked) — no driver-side
+vectors; the driver holds only scalars (level bounds, per-seed δ[s]).
+Cost: O(levels) SpMV rounds per source — the textbook parallel Brandes
+schedule. σ counts are float64 (exact below 2^53 paths, documented).
+
+No reference analogue (engine-only breadth like HITS/Katz/kcore).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ppagerank_ray.algos.structure import bfs_distances
+from ppagerank_ray.engine.vertex_engine import VertexEngine
+
+
+def betweenness(
+    engine: VertexEngine,
+    seeds=None,
+    out: str = "bc",
+) -> dict:
+    """Accumulate Brandes dependencies into vec `out`. seeds=None uses
+    every vertex (exact betweenness; undirected pair counts appear twice —
+    divide by 2 for the textbook value, which `betweenness_table` does).
+    Requires BOTH load_undirected (BFS rounds) and load_directed over the
+    SAME symmetrized edge table (SpMV)."""
+    W = engine.workers
+    V = engine.V
+    if seeds is None:
+        seeds = range(V)
+    seeds = [int(s) for s in seeds]
+
+    def wall(fn, *args):
+        ray.get([getattr(w, fn).remote(*args) for w in W])
+
+    wall("vec_set_scalar", out, 0.0)
+    total_rounds = 0
+    for s in seeds:
+        info = bfs_distances(engine, [s])
+        total_rounds += info["rounds"]
+        lmax = max(
+            ray.get([w.ivec_max_lt.remote("dist", V) for w in W])
+        )
+        # σ by ascending level
+        wall("vec_set_scalar", "sig", 0.0)
+        wall("vec_set_entry", "sig", s, 1.0)
+        for level in range(1, lmax + 1):
+            wall("vec_mask_eq", "tmp", "sig", "dist", level - 1)
+            engine.spmv(engine.slice_refs("tmp"), out="y")
+            wall("vec_add_masked", "sig", "y", "dist", level)
+        # δ by descending level
+        wall("vec_set_scalar", "del", 0.0)
+        for level in range(lmax - 1, -1, -1):
+            wall("vec_ratio_masked", "tmp", 1.0, "del", "sig", "dist",
+                 level + 1)
+            engine.spmv(engine.slice_refs("tmp"), out="y")
+            wall("vec_mul_add_masked", "del", "y", "sig", "dist", level)
+        # bc += δ, excluding the source itself
+        wall("vec_axpy", out, 1.0, "del")
+        ds = float(sum(ray.get([w.vec_get_entry.remote("del", s) for w in W])))
+        if ds:
+            wall("vec_set_entry", out, s,
+                 float(sum(ray.get(
+                     [w.vec_get_entry.remote(out, s) for w in W]
+                 ))) - ds)
+    return {
+        "algorithm": "betweenness",
+        "n_seeds": len(seeds),
+        "bfs_rounds_total": total_rounds,
+    }
+
+
+def betweenness_table(engine: VertexEngine, seeds=None):
+    """(id, bc) pyarrow table: textbook undirected betweenness (pairwise
+    dependencies halved); sampled seeds scale by V/|S| (unbiased)."""
+    import pyarrow as pa
+
+    info = betweenness(engine, seeds=seeds)
+    x = engine.to_array("bc")
+    scale = 0.5 * (
+        engine.V / info["n_seeds"] if info["n_seeds"] < engine.V else 1.0
+    )
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(engine.V, dtype=np.int64),
+            "bc": np.round(x * scale, 6),
+        }
+    ), info

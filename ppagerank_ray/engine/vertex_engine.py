@@ -238,6 +238,47 @@ class _VertexWorker:
         v = self.ivecs[name]
         v[v >= threshold] = value
 
+    # ---------- level-masked BLAS (Brandes betweenness, round 3) ----------
+
+    def vec_mask_eq(self, out: str, x: str, ivec: str, value: int):
+        """out = x · [ivec == value]."""
+        m = self.ivecs[ivec] == value
+        self.vecs[out] = np.where(m, self.vecs[x], 0.0)
+
+    def vec_add_masked(self, y: str, x: str, ivec: str, value: int):
+        """y += x · [ivec == value]."""
+        m = self.ivecs[ivec] == value
+        self.vecs[y][m] += self.vecs[x][m]
+
+    def vec_ratio_masked(self, out: str, shift: float, num: str, den: str,
+                         ivec: str, value: int):
+        """out = [ivec == value] · (shift + num) / den (0 where den == 0)."""
+        m = (self.ivecs[ivec] == value) & (self.vecs[den] != 0)
+        o = np.zeros(self.size, dtype=np.float64)
+        o[m] = (shift + self.vecs[num][m]) / self.vecs[den][m]
+        self.vecs[out] = o
+
+    def vec_mul_add_masked(self, y: str, a: str, b: str, ivec: str,
+                           value: int):
+        """y += a · b · [ivec == value]."""
+        m = self.ivecs[ivec] == value
+        self.vecs[y][m] += self.vecs[a][m] * self.vecs[b][m]
+
+    def vec_set_entry(self, name: str, vid: int, value: float):
+        if self.vlo <= vid < self.vhi:
+            self.vecs[name][vid - self.vlo] = value
+
+    def vec_get_entry(self, name: str, vid: int) -> float:
+        if self.vlo <= vid < self.vhi:
+            return float(self.vecs[name][vid - self.vlo])
+        return 0.0
+
+    def ivec_max_lt(self, name: str, bound: int) -> int:
+        """max of ivec entries strictly below `bound` (-1 if none)."""
+        v = self.ivecs[name]
+        v = v[v < bound]
+        return int(v.max()) if len(v) else -1
+
     # ---------- SpMV: y_partial[q] = sum over local edges of x[src]*w ----------
 
     def _gather(self, parts: list, base_lo: int, span: tuple[int, int]) -> np.ndarray:

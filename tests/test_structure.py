@@ -174,3 +174,60 @@ def test_structure_sf_tiny_matches_networkx(sf_tiny):
     engine.shutdown()
     np.testing.assert_array_equal(dist, _nx_bfs(g, [0], gt.n_vertices))
     assert abs(r - nx.degree_assortativity_coefficient(g)) < 1e-10
+
+
+def _bc_engine(src, dst, n, P):
+    """Engine with BOTH loads over the same symmetrized table (BFS rounds
+    use the undirected structures, Brandes' SpMVs the directed load)."""
+    from ppagerank_ray.graph.build import build_undirected
+
+    und = build_undirected(_edges_ds(src, dst)).materialize()
+    engine = VertexEngine(n, P)
+    engine.load_undirected(und, presorted=True)
+    engine.load_directed(und)
+    return engine
+
+
+def test_betweenness_exact_matches_networkx():
+    """Full-source Brandes over the engine == networkx betweenness
+    (normalized=False halves undirected pair counts, as we do)."""
+    from ppagerank_ray.algos.betweenness import betweenness_table
+
+    rng = np.random.default_rng(23)
+    n = 40
+    src = rng.integers(0, n, 150)
+    dst = rng.integers(0, n, 150)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    for P in (1, 4):
+        eng = _bc_engine(src, dst, n, P)
+        tbl, info = betweenness_table(eng)
+        eng.shutdown()
+        got = np.asarray(tbl["bc"])
+        exp_map = nx.betweenness_centrality(
+            _nx_graph(src, dst, n), normalized=False
+        )
+        exp = np.array([exp_map[i] for i in range(n)])
+        np.testing.assert_allclose(got, np.round(exp, 6), atol=1e-6)
+
+
+def test_betweenness_seed_accumulation_is_linear():
+    """Disjoint seed halves accumulate to the full-source raw vector
+    (the property that makes the sampled estimator unbiased)."""
+    from ppagerank_ray.algos.betweenness import betweenness
+
+    rng = np.random.default_rng(29)
+    n = 30
+    src = rng.integers(0, n, 120)
+    dst = rng.integers(0, n, 120)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    eng = _bc_engine(src, dst, n, 2)
+    betweenness(eng, seeds=None, out="bc_all")
+    full = eng.to_array("bc_all")
+    betweenness(eng, seeds=range(0, n, 2), out="bc_even")
+    even = eng.to_array("bc_even")
+    betweenness(eng, seeds=range(1, n, 2), out="bc_odd")
+    odd = eng.to_array("bc_odd")
+    eng.shutdown()
+    np.testing.assert_allclose(even + odd, full, atol=1e-9)
