@@ -574,6 +574,47 @@ def _q_hyperanf(sf_dir: str):
     )
 
 
+EIG_ITERS = 25
+
+
+def _q_eigenvector(sf_dir: str):
+    """Eigenvector centrality: 25 fixed normalize2(A^T x) power steps
+    over the unweighted adjacency (the authority half of HITS)."""
+    from ppagerank_ray.algos.hits import eigenvector_centrality
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+
+    gt = _graph(sf_dir)
+    eng = VertexEngine(gt.n_vertices, num_partitions=4)
+    eng.load_directed(gt.edges.select_columns(["src", "dst"]))
+    x = eigenvector_centrality(eng, iters=EIG_ITERS)
+    eng.shutdown()
+    return pa.Table.from_pydict(
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
+    )
+
+
+def _q_harmonic(sf_dir: str):
+    """Sampled harmonic centrality (32 deterministic seeds, V/k-scaled
+    unbiased estimator) — rows-only like betweenness (per-seed BFS
+    unrolls are impractical in SQL); exact-vs-networkx conformance is
+    pytest-owned."""
+    from ppagerank_ray.algos.structure import harmonic_centrality
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    step = max(1, gt.n_vertices // 32)
+    seeds = list(range(0, gt.n_vertices, step))[:32]
+    info = harmonic_centrality(eng, seeds=seeds)
+    x = eng.to_array("harm")
+    eng.shutdown()
+    scale = gt.n_vertices / info["n_seeds"]
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "harmonic": _round6(x * scale),
+        }
+    )
+
+
 def _q_betweenness(sf_dir: str):
     """Sampled Brandes betweenness: 32 deterministic seeds, unbiased
     V/k-scaled estimator, halved for undirected pairs — level-synchronized
@@ -1055,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_pvec": _q_pagerank_pvec,
         "hits": _q_hits,
         "katz": _q_katz,
+        "eigenvector": _q_eigenvector,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
         "scc": _q_scc,
@@ -1078,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood_function": _q_hyperanf,
         "effective_diameter": _q_effective_diameter,
         "betweenness": _q_betweenness,
+        "harmonic_centrality": _q_harmonic,
         "pagerank_converged": _q_pagerank_converged,
         "pagerank_inout": _q_pagerank_inout,
         "pagerank_arnoldi": _q_pagerank_arnoldi,
@@ -1372,6 +1415,30 @@ hpr0 AS MATERIALIZED (SELECT host, 1.0/(SELECT v FROM hn) AS x FROM hverts)""",
     return (
         "WITH " + "".join(parts)
         + f"\nSELECT host, round(x, 6) AS score FROM hpr{iters}"
+    )
+
+
+def _eig_sql(iters: int) -> str:
+    """Fixed-iteration eigenvector-centrality unroll:
+    x_t = normalize2(A^T x_{t-1}), x_0 = 1/sqrt(V)."""
+    parts = [
+        _GRAPH_CTES,
+        ", ev0 AS MATERIALIZED (SELECT id, 1.0/sqrt((SELECT v FROM nv)) AS x FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", ey{t} AS MATERIALIZED (
+  SELECT v.id, coalesce(s.a, 0) AS y FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(p.x) AS a
+    FROM edges e JOIN ev{t-1} p ON e.src = p.id GROUP BY e.dst) s
+  ON v.id = s.id
+), ev{t} AS MATERIALIZED (
+  SELECT id, y / sqrt((SELECT sum(y*y) FROM ey{t})) AS x FROM ey{t}
+)"""
+        )
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT id, round(x, 6) AS score FROM ev{iters}"
     )
 
 
@@ -1690,6 +1757,7 @@ FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         "pagerank_pvec": _pagerank_sql(PR_PVEC_ITERS, pvec=True),
         "hits": _hits_sql(HITS_ITERS),
         "katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
+        "eigenvector": _eig_sql(EIG_ITERS),
         "connected_components": _cc_sql(CC_ITERS),
         "component_sizes": _cc_sql(CC_ITERS).replace(
             f"SELECT id, lab AS component FROM cc{CC_ITERS}",

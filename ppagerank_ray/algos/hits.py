@@ -112,3 +112,22 @@ def numpy_hits_oracle(
         if nh > 0:
             h /= nh
     return a, h
+
+
+def eigenvector_centrality(engine: VertexEngine, iters: int = 25) -> np.ndarray:
+    """Right-eigenvector centrality of A^T (the authority half of HITS
+    without the hub alternation): x_t = normalize2(A^T x_{t-1}), x_0
+    uniform. `engine` must hold the UNWEIGHTED adjacency
+    (load_directed over (src, dst) only) — the engine SpMV
+    y[dst] += x[src] IS the A^T multiply. Fixed `iters` for the SQL
+    oracle unroll."""
+    W = engine.workers
+    ray.get([
+        w.vec_set_scalar.remote("ev", 1.0 / float(np.sqrt(engine.V)))
+        for w in W
+    ])
+    for _ in range(iters):
+        engine.spmv(engine.slice_refs("ev"), out="ev_y")
+        ray.get([w.vec_copy.remote("ev_y", "ev") for w in W])
+        _l2_normalize(engine, "ev")
+    return engine.to_array("ev")

@@ -122,3 +122,28 @@ def wedge_count(engine: VertexEngine) -> int:
     undirected_degrees(engine, "deg")
     parts = ray.get([w.wedge_sum.remote() for w in engine.workers])
     return int(sum(parts))
+
+
+def harmonic_centrality(engine: VertexEngine, seeds=None, out: str = "harm"):
+    """Harmonic centrality H(v) = Σ_{u≠v} 1/d(u, v) over the loaded
+    undirected graph — one BFS fixpoint per seed, then a fused
+    1/dist accumulation worker-side (vec_add_inv_ivec); unreachable and
+    self distances contribute 0. seeds=None sweeps every vertex (exact,
+    matches networkx.harmonic_centrality); a sample is the standard
+    unbiased estimator scaled by V/|S| (linear in seeds like
+    betweenness)."""
+    W = engine.workers
+    V = engine.V
+    if seeds is None:
+        seeds = range(V)
+    seeds = [int(s) for s in seeds]
+    ray.get([w.vec_set_scalar.remote(out, 0.0) for w in W])
+    rounds = 0
+    for s in seeds:
+        rounds += bfs_distances(engine, [s])["rounds"]
+        ray.get([w.vec_add_inv_ivec.remote(out, "dist", V) for w in W])
+    return {
+        "algorithm": "harmonic",
+        "n_seeds": len(seeds),
+        "bfs_rounds_total": rounds,
+    }

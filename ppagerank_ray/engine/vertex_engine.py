@@ -264,6 +264,13 @@ class _VertexWorker:
         m = self.ivecs[ivec] == value
         self.vecs[y][m] += self.vecs[a][m] * self.vecs[b][m]
 
+    def vec_add_inv_ivec(self, y: str, ivec: str, sentinel: int):
+        """y += 1/ivec where 0 < ivec < sentinel (harmonic centrality's
+        per-seed accumulation; self distance 0 and unreachable add 0)."""
+        d = self.ivecs[ivec]
+        m = (d > 0) & (d < sentinel)
+        self.vecs[y][m] += 1.0 / d[m]
+
     def vec_set_entry(self, name: str, vid: int, value: float):
         if self.vlo <= vid < self.vhi:
             self.vecs[name][vid - self.vlo] = value

@@ -177,3 +177,27 @@ def test_katz_matches_numpy_oracle(sf_tiny):
         eng.shutdown()
         ref = numpy_katz_oracle(src, dst, gt.n_vertices, alpha, 1.0, iters)
         np.testing.assert_allclose(x, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_eigenvector_centrality_matches_numpy(sf_tiny):
+    """Fixed-iteration normalize2(A^T x) power steps vs a direct numpy
+    replication (<1e-12)."""
+    from ppagerank_ray.algos.hits import eigenvector_centrality
+    from ppagerank_ray.engine.vertex_engine import VertexEngine
+
+    gt = build_graph(synth_pages(sf_tiny))
+    t = gt.edges.to_pandas()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    n = gt.n_vertices
+    eng = VertexEngine(n, 3)
+    eng.load_directed(gt.edges.select_columns(["src", "dst"]))
+    got = eigenvector_centrality(eng, iters=9)
+    eng.shutdown()
+
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(9):
+        y = np.zeros(n)
+        np.add.at(y, dst, x[src])
+        nrm = np.sqrt((y * y).sum())
+        x = y / nrm if nrm > 0 else y
+    np.testing.assert_allclose(got, x, atol=1e-12)

@@ -231,3 +231,22 @@ def test_betweenness_seed_accumulation_is_linear():
     odd = eng.to_array("bc_odd")
     eng.shutdown()
     np.testing.assert_allclose(even + odd, full, atol=1e-9)
+
+
+def test_harmonic_centrality_matches_networkx():
+    """Full-seed harmonic centrality == networkx.harmonic_centrality."""
+    from ppagerank_ray.algos.structure import harmonic_centrality
+
+    rng = np.random.default_rng(31)
+    n = 35
+    src = rng.integers(0, n, 120)
+    dst = rng.integers(0, n, 120)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    eng = _engine(src, dst, n, 2)
+    harmonic_centrality(eng)
+    got = eng.to_array("harm")
+    eng.shutdown()
+    exp_map = nx.harmonic_centrality(_nx_graph(src, dst, n))
+    exp = np.array([exp_map[i] for i in range(n)])
+    np.testing.assert_allclose(got, exp, atol=1e-9)
