@@ -676,6 +676,41 @@ def _q_host_edges(sf_dir: str):
 WALK_LEN = 6
 
 
+SAMPLE_FRACTION, SAMPLE_SEED = 0.25, 1
+
+
+def _q_sampled_edges(sf_dir: str):
+    """Deterministic Bernoulli edge sample (keep iff splitmix64(edge key)
+    below fraction·2^64) — partitioning/order invariant, reproduced
+    bit-for-bit in the SQL oracle."""
+    from ppagerank_ray.graph.build import sample_edges
+
+    gt = _graph(sf_dir)
+    return sample_edges(gt.edges, SAMPLE_FRACTION, seed=SAMPLE_SEED)
+
+
+def _sample_sql(fraction: float, seed: int) -> str:
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    thresh = min(int(fraction * M), M - 1)
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    return f"""WITH {_GRAPH_CTES},
+s0 AS (SELECT src, dst,
+       (((src::HUGEINT * {K1} + dst + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z
+       FROM edges),
+s1 AS (SELECT src, dst, {mulmod('xor(z, z >> 30)', C2)} AS z FROM s0),
+s2 AS (SELECT src, dst, {mulmod('xor(z, z >> 27)', C3)} AS z FROM s1)
+SELECT src, dst FROM s2 WHERE xor(z, z >> 31) < {thresh}::UBIGINT"""
+
+
 def _q_random_walks(sf_dir: str):
     """DeepWalk-style corpus: one deterministic truncated random walk of
     ≤ WALK_LEN steps per vertex over the directed edge table (sharded
@@ -1115,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "node2vec_walks": _q_node2vec_walks,
+        "sampled_edges": _q_sampled_edges,
         # convergence-driven / approximate variants (rows-only; pytest owns
         # conformance)
         "neighborhood_function": _q_hyperanf,
@@ -1812,6 +1848,7 @@ GROUP BY hv.host""",
         "host_pagerank": _host_pagerank_sql(PR_ITERS),
         "random_walks": _walks_sql(WALK_LEN, seed=0),
         "node2vec_walks": _node2vec_sql(WALK_LEN, p=0.5, q=2.0, seed=0),
+        "sampled_edges": _sample_sql(SAMPLE_FRACTION, SAMPLE_SEED),
         "skipgram_pairs": f"""WITH corpus AS ({_walks_sql(WALK_LEN, seed=0)})
 SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
 FROM corpus a JOIN corpus b

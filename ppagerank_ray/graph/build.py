@@ -561,3 +561,39 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
         n_edges=edges.count(),
         edges_sorted=True,
     )
+
+
+def sample_edges(
+    edges: rd.Dataset, fraction: float, seed: int = 0
+) -> rd.Dataset:
+    """Deterministic Bernoulli edge sampling: keep (src, dst) iff
+    splitmix64(src·K + dst + seed) < fraction·2^64 — a pure function of
+    the edge key, so the sample is identical under any partitioning,
+    batch size or execution order (and reproducible in SQL: query
+    `sampled_edges`). The standard subgraph-sampling primitive for
+    training-data graph pipelines; streaming, no shuffle."""
+    from ppagerank_ray.algos.anf import splitmix64
+
+    K = np.uint64(0x100000001B3)
+    thresh = np.uint64(min(int(fraction * (1 << 64)), (1 << 64) - 1))
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["src", "dst"])
+        with np.errstate(over="ignore"):
+            h = splitmix64(
+                t["src"].to_numpy().astype(np.uint64) * K
+                + t["dst"].to_numpy().astype(np.uint64)
+                + np.uint64(seed)
+            )
+        m = h < thresh
+        return pa.Table.from_pydict(
+            {
+                "src": t["src"].to_numpy()[m],
+                "dst": t["dst"].to_numpy()[m],
+            }
+        )
+
+    return edges.select_columns(["src", "dst"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

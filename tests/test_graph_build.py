@@ -174,3 +174,34 @@ def test_fast_build_vertex_gate_falls_back(sf_tiny, monkeypatch):
     e2 = gt.edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert (e1[["src", "dst"]].values == e2[["src", "dst"]].values).all()
     np.testing.assert_allclose(e1["weight"], e2["weight"], rtol=1e-12)
+
+
+def test_sample_edges_deterministic_and_calibrated():
+    """Bernoulli edge sample: invariant to partitioning, fraction within
+    binomial tolerance, pure function of the edge key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ppagerank_ray.graph.build import sample_edges
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    src = rng.integers(0, 1000, n).astype(np.int64)
+    dst = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.Table.from_pydict({"src": src, "dst": dst})
+    a = (
+        sample_edges(rd.from_arrow(t), 0.3, seed=2)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    b = (
+        sample_edges(rd.from_arrow(t).repartition(7), 0.3, seed=2)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    frac = len(a) / n
+    assert abs(frac - 0.3) < 0.03  # ~4.6 sigma of Binomial(5000, 0.3)
+    c = sample_edges(rd.from_arrow(t), 0.3, seed=3).to_pandas()
+    assert not a.equals(
+        c.sort_values(["src", "dst"]).reset_index(drop=True)
+    )  # seed changes the sample
