@@ -154,7 +154,11 @@ class FrameSampler:
                     )
                 samples, _ = decode_wav(payload)
                 win = max(1, self.frame_bytes // 2)
+                # clamp: a non-empty clip shorter than one window still
+                # emits one (truncated) frame instead of silently dropping
                 total = len(samples) // win
+                if total == 0 and len(samples):
+                    total = 1
                 take = min(self.n_frames, total)
                 for k in range(take):
                     fi = k * total // take

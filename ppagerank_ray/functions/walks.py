@@ -317,11 +317,14 @@ def skipgram_pairs(
             )
         c = t["v1"].to_numpy()[keep].astype(np.int64)
         x = t["v2"].to_numpy()[keep].astype(np.int64)
-        hi = max(int(x.max()), 1) + 1
-        key = c * hi + x
-        uk, cnt = np.unique(key, return_counts=True)
+        # structured-dtype unique like _N2VAdjShard.pairs: no c*hi+x key
+        # packing, so no int64 wrap/collision at vertex counts above ~3e9
+        pairs = np.empty(len(c), dtype=[("c", "<i8"), ("x", "<i8")])
+        pairs["c"] = c
+        pairs["x"] = x
+        uk, cnt = np.unique(pairs, return_counts=True)
         return pa.Table.from_pydict(
-            {"center": uk // hi, "context": uk % hi,
+            {"center": uk["c"], "context": uk["x"],
              "n": cnt.astype(np.int64)}
         )
 

@@ -178,7 +178,12 @@ def host_pagerank(
 
     he = host_edges(gt)  # (src_host, dst_host, n_edges), host-pair-sized
     _, names = _host_codes(gt)  # ALL hosts, incl. edge-less ones
-    assert len(names) <= BROADCAST_MAX_VERTICES, "host dictionary over gate"
+    if len(names) > BROADCAST_MAX_VERTICES:  # not assert: survives python -O
+        raise ValueError(
+            f"host dictionary ({len(names)}) over BROADCAST_MAX_VERTICES "
+            f"({BROADCAST_MAX_VERTICES}); rebuild with the distributed "
+            "host-code path (host_edges hash-join branch)"
+        )
     order = pc.sort_indices(names)
     hosts_sorted = pc.take(names, order)
     H = len(hosts_sorted)

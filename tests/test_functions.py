@@ -664,6 +664,28 @@ def test_media_codecs_roundtrip():
     np.testing.assert_array_equal(dec[:, 0], samples)
 
 
+def test_media_frame_short_wav_clamped():
+    """A non-empty WAV shorter than one frame window emits ONE truncated
+    frame (round-4 ADVICE: total = samples//win = 0 silently dropped it)."""
+    from ppagerank_ray.functions.multimodal import FrameSampler, encode_wav
+
+    short = encode_wav(np.arange(10, dtype=np.int16))
+    t = pa.Table.from_pydict(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "media_type": pa.array(["audio/wav"]),
+            "payload": pa.array([short], pa.binary()),
+        }
+    )
+    fr = FrameSampler(n_frames=4, frame_bytes=64, decode=True)(t)
+    assert fr.num_rows == 1
+    assert fr["frame_idx"][0].as_py() == 0
+    np.testing.assert_array_equal(
+        np.frombuffer(fr["frame"][0].as_py(), "<i2"),
+        np.arange(10, dtype=np.int16),
+    )
+
+
 def test_media_decode_real_stages(sf_small):
     """decode=True is REAL for netpbm + wav: features / resize / frames
     computed from actual decoded pixels and samples."""
