@@ -57,6 +57,31 @@ def _unpack_batch(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, flat.reshape(n, d).astype(np.float64, copy=False)
 
 
+def _decode_binary_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """binary column of per-row float64 bytes → n×d matrix, zero-copy
+    (round-3 verdict item 4 closure for the LSH-verify / re-rank stages):
+    the Arrow binary value buffer is viewed as float64 directly when
+    8-byte aligned (one defensive copy otherwise); row width is checked
+    from the offsets so ragged input can't silently mis-reshape."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    width_bits = 64 if pa.types.is_large_binary(col.type) else 32
+    odt = np.int64 if width_bits == 64 else np.int32
+    offs = np.frombuffer(col.buffers()[1], odt)[col.offset : col.offset + n + 1]
+    widths = np.diff(offs)
+    if widths.min() != widths.max() or widths[0] % 8:
+        raise ValueError("ragged or non-float64 binary embedding column")
+    start, stop = int(offs[0]), int(offs[-1])
+    u8 = np.frombuffer(col.buffers()[2], np.uint8, count=stop - start, offset=start)
+    flat = u8.view(np.float64) if u8.ctypes.data % 8 == 0 else np.frombuffer(
+        u8.tobytes(), np.float64
+    )
+    return flat.reshape(n, int(widths[0]) // 8)
+
+
 def _norm_rows(M: np.ndarray) -> np.ndarray:
     return M / np.linalg.norm(M, axis=1, keepdims=True)
 
@@ -349,8 +374,8 @@ def _near_dup_lsh(emb: rd.Dataset, threshold: float) -> pa.Table:
                 {"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64),
                  "cos": np.empty(0, np.float64)}
             )
-        A = _norm_rows(np.stack([np.frombuffer(b, np.float64) for b in t["e_a"].to_pylist()]))
-        B = _norm_rows(np.stack([np.frombuffer(b, np.float64) for b in t["e"].to_pylist()]))
+        A = _norm_rows(_decode_binary_matrix(t["e_a"]))
+        B = _norm_rows(_decode_binary_matrix(t["e"]))
         c = np.einsum("ij,ij->i", A, B)
         keep = c >= threshold
         return pa.Table.from_pydict(
@@ -490,15 +515,12 @@ def ann_lsh(
                  "cos": np.empty(0, np.float64)}
             )
         qids_, Qn = ray.get(q_ref)
-        qpos = {int(q): i for i, q in enumerate(qids_)}
         qi = t["query_id"].to_numpy()
         vi = t["vec_id"].to_numpy()
-        E = _norm_rows(
-            np.stack([np.frombuffer(b, np.float64) for b in t["e"].to_pylist()])
-        )
-        c = np.einsum(
-            "ij,ij->i", Qn[[qpos[int(q)] for q in qi]], E
-        )
+        E = _norm_rows(_decode_binary_matrix(t["e"]))
+        sorter = np.argsort(qids_)
+        qrow = sorter[np.searchsorted(qids_, qi, sorter=sorter)]
+        c = np.einsum("ij,ij->i", Qn[qrow], E)
         # per-batch partial top-k per query, composite (cos desc, id asc)
         out_idx = []
         for q in np.unique(qi):
