@@ -139,9 +139,13 @@ def harmonic_centrality(engine: VertexEngine, seeds=None, out: str = "harm"):
     seeds = [int(s) for s in seeds]
     ray.get([w.vec_set_scalar.remote(out, 0.0) for w in W])
     rounds = 0
-    for s in seeds:
-        rounds += bfs_distances(engine, [s])["rounds"]
-        ray.get([w.vec_add_inv_ivec.remote(out, "dist", V) for w in W])
+    # round-4 multi-source waves: k seeds share every min-plus exchange
+    wave = 8
+    for w0 in range(0, len(seeds), wave):
+        batch = seeds[w0 : w0 + wave]
+        rounds += engine.ms_bfs(batch)["rounds"]
+        ray.get([w.ms_harmonic_accum.remote(out, V) for w in W])
+        ray.get([w.ms_free.remote() for w in W])
     return {
         "algorithm": "harmonic",
         "n_seeds": len(seeds),

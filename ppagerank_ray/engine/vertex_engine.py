@@ -53,6 +53,11 @@ def _nrows(t: pa.Table) -> int:
     return t.num_rows
 
 
+# multi-source wave row-chunk: bounds the k×E_local temporaries inside
+# msbfs_partials / ms_spmv_partials to _MS_CHUNK×E_local
+_MS_CHUNK = 8
+
+
 def _fetch_slices(slices) -> pa.Table | None:
     """slices: list of (ObjectRef[pa.Table], lo, hi) → concatenated rows.
     All refs resolved in ONE ray.get (sequential gets serialize on RPC)."""
@@ -98,6 +103,10 @@ class _VertexWorker:
         self.u_qb = None
         self.u_runs = None  # per q: (run_start_idx ndarray, uniq_local_dst ndarray)
         self.u_span = (0, 0)
+        # multi-source wave state (round 4): (k, size) matrices
+        self.msi: dict[str, np.ndarray] = {}
+        self.msv: dict[str, np.ndarray] = {}
+        self.ms_k = 0
 
     # ---------- loading ----------
 
@@ -621,6 +630,171 @@ class _VertexWorker:
         changed = int((new < dist).sum())
         self.ivecs["dist"] = new
         return changed, new
+
+    # ---------- multi-source wave (k seeds per exchange, round 4) ----------
+    # Brandes/harmonic over 32 sampled seeds used to run one seed at a
+    # time — 32 × O(diameter) levels × ~4 driver barriers per level. A
+    # wave batches k seeds into (k, size) matrices so every min-plus /
+    # masked-SpMV exchange moves k rows at once: k× fewer driver
+    # round-trips for k× larger (still O(k·V/P)-bounded) messages. Row
+    # chunking bounds the k×E_local temporaries.
+
+    def ms_init(self, seeds: np.ndarray, sentinel: int):
+        k = len(seeds)
+        d = np.full((k, self.size), sentinel, dtype=np.int64)
+        loc = (seeds >= self.vlo) & (seeds < self.vhi)
+        d[np.flatnonzero(loc), seeds[loc] - self.vlo] = 0
+        self.msi = {"dist": d}
+        self.msv = {}
+        self.ms_k = k
+
+    def ms_free(self):
+        self.msi, self.msv = {}, {}
+        self.ms_k = 0
+
+    def ms_get_islice(self, name: str) -> np.ndarray:
+        return self.msi[name]
+
+    def ms_get_slice(self, name: str) -> np.ndarray:
+        return self.msv[name]
+
+    def _gather2(self, parts: list, base_lo: int):
+        """_gather for (k, ·) matrices: owner slices concat along axis 1."""
+        parts = _VertexWorker._resolve_refs(parts)
+        full = np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        return full, base_lo
+
+    def msbfs_partials(self, dist_parts: list, base_lo: int):
+        """cc_partials with a seed dimension: per destination partition q,
+        (uniq_local_dst, k×|uniq| min incoming dist) over the undirected
+        block."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        dist_full, base = self._gather2(dist_parts, base_lo)
+        k = dist_full.shape[0]
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            idx = self.u_src[a:b] - base
+            mins = np.empty((k, len(starts)), np.int64)
+            for r0 in range(0, k, _MS_CHUNK):
+                r1 = min(k, r0 + _MS_CHUNK)
+                mins[r0:r1] = np.minimum.reduceat(
+                    dist_full[r0:r1][:, idx], starts, axis=1
+                )
+            out.append((uniq_local, mins))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def msbfs_reduce(self, refs: list) -> int:
+        d = self.msi["dist"]
+        changed = 0
+        for pair in _VertexWorker._resolve_refs(refs):
+            if pair is None:
+                continue
+            uniq, mins = pair
+            cand = mins + 1
+            cur = d[:, uniq]
+            m = cand < cur
+            if m.any():
+                changed += int(m.sum())
+                d[:, uniq] = np.where(m, cand, cur)
+        return changed
+
+    def ms_spmv_partials(self, x_parts: list, base_lo: int):
+        """spmv_partials with a seed dimension over the directed block:
+        per q, (uniq_local_dst, k×|uniq| partial sums), row-chunked."""
+        if len(self.d_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        x_full, base = self._gather2(x_parts, base_lo)
+        k = x_full.shape[0]
+        out = []
+        for q in range(self.P):
+            a, b = int(self.d_qb[q]), int(self.d_qb[q + 1])
+            if b == a:
+                out.append(None)
+                continue
+            starts, uniq_local = self.d_runs[q]
+            idx = self.d_src[a:b] - base
+            wq = self.d_w[a:b]
+            sums = np.empty((k, len(starts)), np.float64)
+            for r0 in range(0, k, _MS_CHUNK):
+                r1 = min(k, r0 + _MS_CHUNK)
+                sums[r0:r1] = np.add.reduceat(
+                    x_full[r0:r1][:, idx] * wq, starts, axis=1
+                )
+            out.append((uniq_local, sums))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def ms_reduce(self, name: str, refs: list):
+        acc = np.zeros((self.ms_k, self.size), np.float64)
+        for pair in _VertexWorker._resolve_refs(refs):
+            if pair is None:
+                continue
+            acc[:, pair[0]] += pair[1]  # indices unique per partial ⇒ safe
+        self.msv[name] = acc
+
+    # row-wise masked BLAS against msi["dist"] (Brandes per-seed levels)
+
+    def ms_set_scalar(self, name: str, value: float):
+        self.msv[name] = np.full((self.ms_k, self.size), value, np.float64)
+
+    def ms_set_entries(self, name: str, seeds: np.ndarray, value: float):
+        arr = self.msv[name]
+        loc = (seeds >= self.vlo) & (seeds < self.vhi)
+        arr[np.flatnonzero(loc), seeds[loc] - self.vlo] = value
+
+    def ms_mask_eq(self, out: str, x: str, value: int):
+        self.msv[out] = np.where(
+            self.msi["dist"] == value, self.msv[x], 0.0
+        )
+
+    def ms_add_masked(self, y: str, x: str, value: int):
+        m = self.msi["dist"] == value
+        self.msv[y][m] += self.msv[x][m]
+
+    def ms_ratio_masked(self, out: str, shift: float, num: str, den: str,
+                        value: int):
+        m = (self.msi["dist"] == value) & (self.msv[den] != 0)
+        o = np.zeros((self.ms_k, self.size), np.float64)
+        o[m] = (shift + self.msv[num][m]) / self.msv[den][m]
+        self.msv[out] = o
+
+    def ms_mul_add_masked(self, y: str, a: str, b: str, value: int):
+        m = self.msi["dist"] == value
+        self.msv[y][m] += self.msv[a][m] * self.msv[b][m]
+
+    def ms_row_max_lt(self, bound: int) -> np.ndarray:
+        """Per-seed max dist strictly below bound (-1 where none)."""
+        if self.size == 0:
+            return np.full(self.ms_k, -1, np.int64)
+        d = np.where(self.msi["dist"] < bound, self.msi["dist"], -1)
+        return d.max(axis=1)
+
+    def ms_collapse_add(self, ms_name: str, out: str,
+                        subtract_sources: np.ndarray | None = None):
+        """vecs[out] += Σ_j msv[ms_name][j]; each owned source's own row
+        entry is excluded first (Brandes drops δ_s(s))."""
+        col = self.msv[ms_name].sum(axis=0)
+        if subtract_sources is not None:
+            loc = (subtract_sources >= self.vlo) & (subtract_sources < self.vhi)
+            rows = np.flatnonzero(loc)
+            cols = subtract_sources[loc] - self.vlo
+            np.subtract.at(col, cols, self.msv[ms_name][rows, cols])
+        self.vecs[out] = self.vecs.get(out, np.zeros(self.size)) + col
+
+    def ms_harmonic_accum(self, out: str, sentinel: int):
+        """vecs[out] += Σ_j 1/dist_j where 0 < dist < sentinel."""
+        d = self.msi["dist"]
+        inv = np.zeros(d.shape, np.float64)
+        m = (d > 0) & (d < sentinel)
+        inv[m] = 1.0 / d[m]
+        self.vecs[out] = self.vecs.get(out, np.zeros(self.size)) + inv.sum(
+            axis=0
+        )
 
     # ---------- degree assortativity (edge-moment partials) ----------
 
@@ -1238,6 +1412,52 @@ class VertexEngine:
         partial_mat = [o[: self.P] for o in outs]
         totals = [o[self.P] for o in outs]
         return partial_mat, totals
+
+    # ---------- multi-source wave rounds (round 4) ----------
+
+    def ms_bfs(self, seeds, max_rounds: int = 10_000) -> dict:
+        """k-source BFS over the undirected block: dist is a (k, ·) matrix
+        and each min-plus exchange advances ALL k frontiers — k× fewer
+        driver barriers than k single-seed bfs_distances calls."""
+        seeds = np.asarray(list(seeds), np.int64)
+        ray.get([w.ms_init.remote(seeds, int(self.V)) for w in self.workers])
+        rounds = 0
+        for rounds in range(1, max_rounds + 1):
+            refs = [w.ms_get_islice.remote("dist") for w in self.workers]
+            gargs = self._gather_args(refs, self.u_spans)
+            pm = [
+                w.msbfs_partials.options(num_returns=self.P).remote(r, b)
+                for w, (r, b) in zip(self.workers, gargs)
+            ]
+            if self.P == 1:
+                pm = [[m] for m in pm]
+            changed = int(np.sum(ray.get([
+                self.workers[q].msbfs_reduce.remote(
+                    [pm[p][q] for p in range(self.P)]
+                )
+                for q in range(self.P)
+            ])))
+            if changed == 0:
+                break
+        return {"rounds": rounds, "sentinel": int(self.V), "k": len(seeds)}
+
+    def ms_spmv(self, name: str, out: str):
+        """One k-row SpMV round over the directed block:
+        msv[out] = Aᵀ · msv[name] (per seed row)."""
+        refs = [w.ms_get_slice.remote(name) for w in self.workers]
+        gargs = self._gather_args(refs, self.d_spans)
+        pm = [
+            w.ms_spmv_partials.options(num_returns=self.P).remote(r, b)
+            for w, (r, b) in zip(self.workers, gargs)
+        ]
+        if self.P == 1:
+            pm = [[m] for m in pm]
+        ray.get([
+            self.workers[q].ms_reduce.remote(
+                out, [pm[p][q] for p in range(self.P)]
+            )
+            for q in range(self.P)
+        ])
 
     # ---------- checkpointing ----------
 
