@@ -32,6 +32,11 @@ CC_ITERS = 24  # min-label rounds unrolled in SQL (diameter ≪ 24 at sf≤0.1)
 LP_ITERS = 4
 KC_ITERS = 16  # h-index rounds unrolled in SQL (10 rounds at sf0.1; extra rounds are fixpoint no-ops)
 BFS_SEED = 0
+HARM_SEEDS = 32  # sampled seeds for harmonic/betweenness estimators
+# common denominator for the EXACT integer harmonic numerator (Σ lcm/d):
+# lcm(1..24) — 24 = BFS_ITERS bounds every oracle-checked distance, and
+# 32 seeds × lcm < 2^53 keeps the numerator exact as a double
+HARM_LCM = 5354228880
 BFS_ITERS = 24  # min-plus rounds unrolled in SQL (≥ eccentricity(seed) at sf≤0.1; extra rounds are no-ops)
 JACCARD_T = 0.7
 EMB_NEAR_T = 0.4
@@ -146,17 +151,18 @@ def _outdeg_array(sf_dir: str) -> np.ndarray:
     return np.bincount(src, minlength=gt.n_vertices).astype(np.int64)
 
 def _q_outdegree(sf_dir: str):
+    """M1/M2: outdegree + the dangling (zero-outdegree) indicator in one
+    per-vertex table (round-4 registry consolidation: the old `dangling`
+    query is the is_dangling=1 slice)."""
     gt = _graph(sf_dir)
     outdeg = _outdeg_array(sf_dir)
     return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "outdeg": outdeg}
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "outdeg": outdeg,
+            "is_dangling": (outdeg == 0).astype(np.int64),
+        }
     )
-
-
-def _q_dangling(sf_dir: str):
-    t = _q_outdegree(sf_dir)
-    keep = pa.compute.equal(t["outdeg"], 0)
-    return t.filter(keep).select(["id"])
 
 
 def _q_matrix_stats(sf_dir: str):
@@ -201,11 +207,13 @@ def _pagerank_fixed(sf_dir: str, iters: int, pvec: bool):
 
 
 def _q_pagerank(sf_dir: str):
-    return _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
-
-
-def _q_pagerank_pvec(sf_dir: str):
-    return _pagerank_fixed(sf_dir, PR_PVEC_ITERS, pvec=True)
+    """Uniform-teleport (PR_ITERS) and personalization-vector
+    (PR_PVEC_ITERS, -pvec load path) fixed-iteration PageRank side by
+    side — two engine runs, one per-vertex table (round-4 registry
+    consolidation of the old pagerank/pagerank_pvec pair)."""
+    base = _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
+    pvec = _pagerank_fixed(sf_dir, PR_PVEC_ITERS, pvec=True)
+    return base.append_column("score_pvec", pvec["score"])
 
 
 def _q_pagerank_trans(sf_dir: str):
@@ -255,44 +263,27 @@ def _q_pagerank_top20(sf_dir: str):
     )
 
 
-def _q_pagerank_converged(sf_dir: str):
-    """Convergence-driven run (tol 1e-7 like the reference default) —
-    rows-only check; numerical conformance is pytest's job."""
-    from ppagerank_ray.algos.pagerank import power_iteration
+def _q_pagerank_solvers(sf_dir: str):
+    """All three convergence-driven solvers (tol 1e-7 like the reference
+    default: power G2, inner-outer G3, Arnoldi G4) in one per-vertex table
+    — rows-only check (tolerance-driven iteration counts are not
+    SQL-unrollable); numerical conformance is pytest's job
+    (tests/test_pagerank.py)."""
+    from ppagerank_ray.algos.pagerank import arnoldi, inner_outer, power_iteration
     from ppagerank_ray.config import PageRankConfig
 
-    eng, gt = _engine(sf_dir)
-    info = power_iteration(eng, PageRankConfig(alpha=ALPHA, tol=1e-7))
-    x = eng.to_array("x")
-    eng.shutdown()
+    cols = {}
+    for name, run in (
+        ("pr_power", lambda e: power_iteration(e, PageRankConfig(alpha=ALPHA, tol=1e-7))),
+        ("pr_inout", lambda e: inner_outer(e, PageRankConfig(alpha=ALPHA, tol=1e-7))),
+        ("pr_arnoldi", lambda e: arnoldi(e, PageRankConfig(alpha=ALPHA, tol=1e-7, maxiter=50))),
+    ):
+        eng, gt = _engine(sf_dir)
+        run(eng)
+        cols[name] = _round6(eng.to_array("x"))
+        eng.shutdown()
     return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
-    )
-
-
-def _q_pagerank_inout(sf_dir: str):
-    from ppagerank_ray.algos.pagerank import inner_outer
-    from ppagerank_ray.config import PageRankConfig
-
-    eng, gt = _engine(sf_dir)
-    inner_outer(eng, PageRankConfig(alpha=ALPHA, tol=1e-7))
-    x = eng.to_array("x")
-    eng.shutdown()
-    return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
-    )
-
-
-def _q_pagerank_arnoldi(sf_dir: str):
-    from ppagerank_ray.algos.pagerank import arnoldi
-    from ppagerank_ray.config import PageRankConfig
-
-    eng, gt = _engine(sf_dir)
-    arnoldi(eng, PageRankConfig(alpha=ALPHA, tol=1e-7, maxiter=50))
-    x = eng.to_array("x")
-    eng.shutdown()
-    return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "score": _round6(x)}
+        {"id": np.arange(gt.n_vertices, dtype=np.int64), **cols}
     )
 
 
@@ -343,23 +334,37 @@ def _q_katz(sf_dir: str):
     )
 
 
+def _q_spectral(sf_dir: str):
+    """HITS authority/hub + Katz + eigenvector centrality in one
+    per-vertex table (round-4 registry consolidation — all four are
+    fixed-iteration spectral scores over the same adjacency; each still
+    runs its own engine pipeline)."""
+    h = _q_hits(sf_dir)
+    k = _q_katz(sf_dir)
+    e = _q_eigenvector(sf_dir)
+    return h.append_column("katz", k["katz"]).append_column(
+        "eigenvector", e["score"]
+    )
+
+
 def _q_components(sf_dir: str):
+    """Connected components + each vertex's component size (round-4
+    consolidation: the old component_sizes histogram is the distinct
+    (component, component_size) projection)."""
     from ppagerank_ray.algos.components import connected_components
 
     eng, gt = _engine(sf_dir, directed=False, undirected=True)
     connected_components(eng)
     lab = eng.to_array("label", integer=True)
     eng.shutdown()
+    uniq, inv, cnt = np.unique(lab, return_inverse=True, return_counts=True)
     return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "component": lab}
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "component": lab,
+            "component_size": cnt[inv].astype(np.int64),
+        }
     )
-
-
-def _q_component_sizes(sf_dir: str):
-    t = _q_components(sf_dir)
-    comp = t["component"].to_numpy()
-    uniq, cnt = np.unique(comp, return_counts=True)
-    return pa.Table.from_pydict({"component": uniq, "n_vertices": cnt.astype(np.int64)})
 
 
 def _q_kcore(sf_dir: str):
@@ -376,15 +381,30 @@ def _q_kcore(sf_dir: str):
     )
 
 
-def _q_degree_distribution(sf_dir: str):
-    """Outdegree histogram over all vertices (dangling bucket at 0) —
-    the canonical link-graph shape diagnostic. Histogram over the
-    already-materialized per-vertex query result (≤ max-degree rows)."""
+def _q_degree_distributions(sf_dir: str):
+    """Out- AND in-degree histograms in one table keyed by `direction`
+    (round-4 consolidation; 0-buckets = dangling / never-linked-to).
+    The out side histograms the per-vertex query result driver-side
+    (≤ max-degree rows); the in side stays the two pre-aggregated
+    combiner groupbys of _q_indegree_distribution."""
     t = _q_outdegree(sf_dir)
     uniq, cnt = np.unique(t["outdeg"].to_numpy(), return_counts=True)
-    return pa.Table.from_pydict(
-        {"outdeg": uniq.astype(np.int64), "n_vertices": cnt.astype(np.int64)}
+    out = pa.Table.from_pydict(
+        {
+            "direction": pa.array(["out"] * len(uniq), pa.string()),
+            "degree": uniq.astype(np.int64),
+            "n_vertices": cnt.astype(np.int64),
+        }
     )
+    ind = _q_indegree_distribution(sf_dir)
+    inn = pa.Table.from_pydict(
+        {
+            "direction": pa.array(["in"] * ind.num_rows, pa.string()),
+            "degree": ind["indeg"],
+            "n_vertices": ind["n_vertices"],
+        }
+    )
+    return pa.concat_tables([out, inn])
 
 
 def _q_indegree_distribution(sf_dir: str):
@@ -472,28 +492,53 @@ def _q_reciprocity(sf_dir: str):
     )
 
 
-def _q_bfs_distance(sf_dir: str):
-    """Hop distance from seed 0 over the undirected graph (algos/
-    structure.py min-plus fixpoint); unreachable → -1. SQL oracle
-    unrolls the same min-plus iteration."""
-    from ppagerank_ray.algos.structure import bfs_distances
+def _harmonic_seeds(V: int) -> list[int]:
+    step = max(1, V // HARM_SEEDS)
+    return list(range(0, V, step))[:HARM_SEEDS]
+
+
+def _q_bfs_harmonic(sf_dir: str):
+    """Hop distance from seed 0 (min-plus fixpoint; unreachable → -1)
+    PLUS sampled harmonic centrality (32 deterministic seeds, V/k-scaled
+    unbiased estimator, round-4 multi-source waves) over ONE undirected
+    engine. Both halves are SQL-oracled — the harmonic oracle unrolls
+    the same min-plus recursion with a seed dimension and sums 1/dist
+    (round-4: converts the old rows-only harmonic_centrality row)."""
+    from ppagerank_ray.algos.structure import bfs_distances, harmonic_centrality
 
     eng, gt = _engine(sf_dir, directed=False, undirected=True)
     info = bfs_distances(eng, [BFS_SEED])
     dist = eng.to_array("dist", integer=True)
-    eng.shutdown()
     dist = np.where(dist >= info["sentinel"], np.int64(-1), dist)
+    seeds = _harmonic_seeds(gt.n_vertices)
+    hinfo = harmonic_centrality(eng, seeds=seeds, lcm_num=HARM_LCM)
+    num = eng.to_array("harm_num", integer=True)
+    eng.shutdown()
+    # exact integer numerator → ONE deterministic float multiply + the
+    # binary-domain half-up, mirrored op-for-op in _harmonic_sql (a float
+    # SUM is order-dependent and the estimator's true values land on
+    # exact decimal ties, so np.round vs SQL round() would flip)
+    s = gt.n_vertices / hinfo["n_seeds"] / HARM_LCM
+    harm6 = np.floor(num.astype(np.float64) * s * 1e6 + 0.5) / 1e6
     return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "dist": dist}
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "dist": dist,
+            "harmonic": harm6,
+        }
     )
 
 
-def _q_assortativity(sf_dir: str):
-    """Newman degree assortativity + global transitivity (3·triangles /
-    wedges) — one-row structural summary of the link graph."""
+def _q_graph_summary(sf_dir: str):
+    """One-row structural summary (round-4 consolidation of the old
+    reciprocity / assortativity / triangle_count queries): directed-edge
+    reciprocity, Newman degree assortativity, wedge + triangle counts
+    and global transitivity — each still computed by its own distributed
+    pipeline (combiner groupby / engine moments / triangle join)."""
     from ppagerank_ray.algos.structure import degree_assortativity, wedge_count
     from ppagerank_ray.algos.triangles import triangle_count
 
+    recip = _q_reciprocity(sf_dir)
     eng, gt = _engine(sf_dir, directed=False, undirected=True)
     r = degree_assortativity(eng)
     wedges = wedge_count(eng)
@@ -501,6 +546,9 @@ def _q_assortativity(sf_dir: str):
     tri = triangle_count(gt.edges, gt.n_vertices)
     return pa.Table.from_pydict(
         {
+            "n_reciprocal": recip["n_reciprocal"],
+            "n_edges": recip["n_edges"],
+            "reciprocity": recip["reciprocity"],
             "assortativity": pa.array([round(float(r), 6)], pa.float64()),
             "n_wedges": pa.array([wedges], pa.int64()),
             "n_triangles": pa.array([tri], pa.int64()),
@@ -557,19 +605,29 @@ def _q_clustering(sf_dir: str):
 
 def _q_hyperanf(sf_dir: str):
     """HyperANF sketch fixpoint: per-vertex estimated component size
-    (ball at t→∞) — approximate by construction, rows-only for the
-    driver; pytest pins determinism across P and error vs exact sizes."""
+    (ball at t→∞) + the Boldi-Rosa-Vigna 90% effective diameter from the
+    same run's neighborhood function as a constant column (round-4
+    consolidation of the old effective_diameter query) — approximate by
+    construction, rows-only for the driver; pytest pins determinism
+    across P and error vs exact sizes."""
     from ppagerank_ray.algos.anf import ball_estimates, hyperanf
 
     eng, gt = _engine(sf_dir, directed=False, undirected=True)
     info = hyperanf(eng, n_words=4)
     est = ball_estimates(eng, n_words=4)
     eng.shutdown()
+    nf = np.asarray(info["neighborhood_function"], dtype=np.float64)
+    target = 0.9 * nf[-1]
+    t = int(np.argmax(nf >= target))
+    eff = 0.0 if t == 0 else (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
     return pa.Table.from_pydict(
         {
             "id": np.arange(gt.n_vertices, dtype=np.int64),
             "ball_est": _round6(est),
             "rounds": np.full(gt.n_vertices, info["rounds"], np.int64),
+            "effective_diameter_90": np.full(
+                gt.n_vertices, round(float(eff), 6), np.float64
+            ),
         }
     )
 
@@ -593,28 +651,6 @@ def _q_eigenvector(sf_dir: str):
     )
 
 
-def _q_harmonic(sf_dir: str):
-    """Sampled harmonic centrality (32 deterministic seeds, V/k-scaled
-    unbiased estimator) — rows-only like betweenness (per-seed BFS
-    unrolls are impractical in SQL); exact-vs-networkx conformance is
-    pytest-owned."""
-    from ppagerank_ray.algos.structure import harmonic_centrality
-
-    eng, gt = _engine(sf_dir, directed=False, undirected=True)
-    step = max(1, gt.n_vertices // 32)
-    seeds = list(range(0, gt.n_vertices, step))[:32]
-    info = harmonic_centrality(eng, seeds=seeds)
-    x = eng.to_array("harm")
-    eng.shutdown()
-    scale = gt.n_vertices / info["n_seeds"]
-    return pa.Table.from_pydict(
-        {
-            "id": np.arange(gt.n_vertices, dtype=np.int64),
-            "harmonic": _round6(x * scale),
-        }
-    )
-
-
 def _q_betweenness(sf_dir: str):
     """Sampled Brandes betweenness: 32 deterministic seeds, unbiased
     V/k-scaled estimator, halved for undirected pairs — level-synchronized
@@ -631,37 +667,9 @@ def _q_betweenness(sf_dir: str):
     eng = VertexEngine(gt.n_vertices, num_partitions=4)
     eng.load_undirected(und, presorted=True)
     eng.load_directed(und)
-    step = max(1, gt.n_vertices // 32)
-    seeds = list(range(0, gt.n_vertices, step))[:32]
-    tbl, _ = betweenness_table(eng, seeds=seeds)
+    tbl, _ = betweenness_table(eng, seeds=_harmonic_seeds(gt.n_vertices))
     eng.shutdown()
     return tbl
-
-
-def _q_effective_diameter(sf_dir: str):
-    """HyperANF 90% effective diameter (Boldi-Rosa-Vigna): smallest t with
-    N(t) ≥ 0.9·N(∞), linearly interpolated — approximate by construction
-    (HLL sketches), rows-only; pytest pins sketch determinism."""
-    from ppagerank_ray.algos.anf import hyperanf
-
-    eng, gt = _engine(sf_dir, directed=False, undirected=True)
-    info = hyperanf(eng, n_words=4)
-    eng.shutdown()
-    nf = np.asarray(info["neighborhood_function"], dtype=np.float64)
-    target = 0.9 * nf[-1]
-    t = int(np.argmax(nf >= target))
-    eff = (
-        0.0
-        if t == 0
-        else (t - 1) + (target - nf[t - 1]) / (nf[t] - nf[t - 1])
-    )
-    return pa.Table.from_pydict(
-        {
-            "effective_diameter_90": [round(float(eff), 6)],
-            "rounds": [int(info["rounds"])],
-            "nf_final": [round(float(nf[-1]), 6)],
-        }
-    )
 
 
 def _q_host_edges(sf_dir: str):
@@ -763,9 +771,12 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(_graph(sf_dir), alpha=ALPHA, iters=PR_ITERS)
 
 
-def _q_pagerank_by_host(sf_dir: str):
-    """PageRank mass aggregated per host: fixed PR_ITERS power iteration
-    then Σ score by the vertex's url host."""
+def _q_host_scores(sf_dir: str):
+    """Two host-granularity scores side by side (round-4 consolidation):
+    pr_mass = page PageRank mass aggregated per host (fixed PR_ITERS run
+    then Σ score by url host) and host_pr = weighted PageRank computed ON
+    the collapsed host graph (_q_host_pagerank). Joined driver-side —
+    both tables are host-cardinality aggregates."""
     from ppagerank_ray.algos.pagerank import power_iteration
     from ppagerank_ray.config import PageRankConfig
     from ppagerank_ray.graph.hosts import mass_by_host
@@ -774,7 +785,103 @@ def _q_pagerank_by_host(sf_dir: str):
     power_iteration(eng, PageRankConfig(alpha=ALPHA, tol=0.0, maxiter=PR_ITERS))
     x = eng.to_array("x")
     eng.shutdown()
-    return mass_by_host(gt, x)
+    mass = mass_by_host(gt, x).to_pandas()
+    mass = mass.rename(columns={"score": "pr_mass"})
+    hp = _q_host_pagerank(sf_dir).to_pandas()
+    hp = hp.rename(columns={"score": "host_pr"})
+    out = mass.merge(hp, on="host").sort_values("host").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _q_vertex_structure(sf_dir: str):
+    """k-core number + per-vertex triangle count + local clustering
+    coefficient in one per-vertex table (round-4 consolidation of the
+    old kcore/clustering queries; both pipelines still run)."""
+    k = _q_kcore(sf_dir)
+    c = _q_clustering(sf_dir)
+    return k.append_column("n_tri", c["n_tri"]).append_column(
+        "clustering", c["clustering"]
+    )
+
+
+def _q_doc_stats(sf_dir: str):
+    """Per-document text statistics in one table (round-4 consolidation):
+    quality scores (chars/tokens/stopwords/punct/stop-ratio — n_tokens is
+    the old token_counts query) + language ID. Column-zipped from the two
+    streaming map_batches pipelines (both emit doc_id ascending per the
+    shared read order), then verified aligned."""
+    import pyarrow.compute as pc
+
+    q = pa.concat_tables(
+        [t for t in _ds_tables(_q_quality(sf_dir))]
+    ).combine_chunks()
+    l = pa.concat_tables(
+        [t for t in _ds_tables(_q_lang_id(sf_dir))]
+    ).combine_chunks()
+    q = q.sort_by("doc_id")
+    l = l.sort_by("doc_id")
+    assert pc.all(pc.equal(q["doc_id"], l["doc_id"])).as_py()
+    return q.append_column("lang_pred", l["lang_pred"])
+
+
+def _q_doc_hashes(sf_dir: str):
+    """Document fingerprint (rolling-hash md5) + SimHash signature in one
+    per-doc table (round-4 consolidation of doc_fingerprint/simhash)."""
+    import pyarrow.compute as pc
+
+    f = pa.concat_tables(list(_ds_tables(_q_fingerprint(sf_dir)))).combine_chunks()
+    s = pa.concat_tables(list(_ds_tables(_q_simhash(sf_dir)))).combine_chunks()
+    f = f.sort_by("doc_id")
+    s = s.sort_by("doc_id")
+    assert pc.all(pc.equal(f["doc_id"], s["doc_id"])).as_py()
+    return f.append_column("simhash", s["simhash"])
+
+
+def _ds_tables(res):
+    """Dataset | pa.Table → iterable of pyarrow Tables (query-harness
+    collection helper; results here are per-doc aggregate outputs)."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+    return [res]
+
+
+def _q_vocabulary(sf_dir: str):
+    """Full corpus vocabulary: term frequency AND document frequency in
+    one table (round-4 consolidation of top_terms/term_doc_freq — the
+    full vocabulary is itself the aggregate; ordering by term)."""
+    from ppagerank_ray.functions.textstats import term_doc_freq, top_terms
+
+    k = 1 << 31
+    tf = pa.concat_tables(
+        list(_ds_tables(top_terms(_docs(sf_dir), k=k)))
+    ).to_pandas()
+    df = pa.concat_tables(
+        list(_ds_tables(term_doc_freq(_docs(sf_dir), k=k)))
+    ).to_pandas()
+    out = tf.merge(df, on="term").sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _q_ann_methods(sf_dir: str):
+    """LSH- and IVF-bucketed approximate top-k side by side, keyed by
+    `method` (round-4 consolidation; both legitimately approximate →
+    rows-only driver check, recall pytest-owned)."""
+    lsh = _q_ann_lsh(sf_dir)
+    ivf = _q_ann_ivf(sf_dir)
+    out = []
+    for method, t in (("lsh", lsh), ("ivf", ivf)):
+        out.append(
+            pa.Table.from_pydict(
+                {
+                    "method": pa.array([method] * t.num_rows, pa.string()),
+                    **{c: t[c] for c in t.column_names},
+                }
+            )
+        )
+    return pa.concat_tables(out)
 
 
 def _q_label_propagation(sf_dir: str):
@@ -826,12 +933,6 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
 
-def _q_token_counts(sf_dir: str):
-    from ppagerank_ray.functions.textstats import token_counts
-
-    return token_counts(_docs(sf_dir))
-
-
 def _q_quality(sf_dir: str):
     from ppagerank_ray.functions.textstats import quality_scores
 
@@ -848,22 +949,6 @@ def _q_fingerprint(sf_dir: str):
     from ppagerank_ray.functions.textstats import fingerprints
 
     return fingerprints(_docs(sf_dir))
-
-
-def _q_top_terms(sf_dir: str):
-    """Corpus vocabulary: combiner-pre-aggregated wordcount, top 100 by
-    (count desc, term asc)."""
-    from ppagerank_ray.functions.textstats import top_terms
-
-    return top_terms(_docs(sf_dir), k=100)
-
-
-def _q_term_doc_freq(sf_dir: str):
-    """Document frequency (the IDF denominator), top 100 by (df desc,
-    term asc)."""
-    from ppagerank_ray.functions.textstats import term_doc_freq
-
-    return term_doc_freq(_docs(sf_dir), k=100)
 
 
 def _q_top_bigrams(sf_dir: str):
@@ -958,8 +1043,14 @@ def _q_media_decoded(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """Per-media metadata features + the resize stage's output meta in
+    one table (round-4 consolidation of media_features/media_resized;
+    orig_bytes == n_bytes so only the resize outputs are appended)."""
+    import pyarrow.compute as pc
+
     from ppagerank_ray.functions.multimodal import (
         media_features,
+        resize_media,
         synth_media_from_documents,
     )
 
@@ -976,7 +1067,33 @@ def _q_media_features(sf_dir: str):
             }
         )
 
-    return feats.map_batches(flatten, batch_format="pyarrow")
+    ft = pa.concat_tables(
+        list(_ds_tables(feats.map_batches(flatten, batch_format="pyarrow")))
+    ).sort_by("media_id")
+
+    resized = resize_media(synth_media_from_documents(_docs(sf_dir)))
+
+    def meta(t: pa.Table) -> pa.Table:
+        firsts, lasts = [], []
+        for b in t["payload"].to_pylist():
+            firsts.append(b[0] if len(b) else -1)
+            lasts.append(b[-1] if len(b) else -1)
+        return pa.Table.from_pydict(
+            {
+                "media_id": t["media_id"],
+                "out_bytes": t["out_bytes"],
+                "first_byte": pa.array(firsts, pa.int64()),
+                "last_byte": pa.array(lasts, pa.int64()),
+            }
+        )
+
+    rt = pa.concat_tables(
+        list(_ds_tables(resized.map_batches(meta, batch_format="pyarrow")))
+    ).sort_by("media_id")
+    assert pc.all(pc.equal(ft["media_id"], rt["media_id"])).as_py()
+    for c in ("out_bytes", "first_byte", "last_byte"):
+        ft = ft.append_column(c, rt[c])
+    return ft
 
 
 def _q_media_frames(sf_dir: str):
@@ -1002,33 +1119,6 @@ def _q_media_frames(sf_dir: str):
         )
 
     return frames.map_batches(digest, batch_format="pyarrow")
-
-
-def _q_media_resized(sf_dir: str):
-    from ppagerank_ray.functions.multimodal import (
-        resize_media,
-        synth_media_from_documents,
-    )
-
-    resized = resize_media(synth_media_from_documents(_docs(sf_dir)))
-
-    def meta(t: pa.Table) -> pa.Table:
-        firsts, lasts = [], []
-        for b in t["payload"].to_pylist():
-            firsts.append(b[0] if len(b) else -1)
-            lasts.append(b[-1] if len(b) else -1)
-        return pa.Table.from_pydict(
-            {
-                "media_id": t["media_id"],
-                "media_type": t["media_type"],
-                "orig_bytes": t["orig_bytes"],
-                "out_bytes": t["out_bytes"],
-                "first_byte": pa.array(firsts, pa.int64()),
-                "last_byte": pa.array(lasts, pa.int64()),
-            }
-        )
-
-    return resized.map_batches(meta, batch_format="pyarrow")
 
 
 def _q_events_windowed(sf_dir: str):
@@ -1114,6 +1204,13 @@ def _q_user_sessions(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """47 registered queries (round-4 consolidation from 67: same-keyed
+    outputs merged into multi-column tables so the FULL registry fits the
+    driver's 50-query correctness window — every operator now gets a
+    driver check every round). 42 are exact-SQL-oracled; the 5 rows-only
+    entries (pagerank_solvers, betweenness, neighborhood_function,
+    ann_methods, media_decoded) are convergence-driven or approximate by
+    design, with conformance pytest-owned."""
     return {
         # pages / extraction
         "pages_meta": _q_pages_meta,
@@ -1121,70 +1218,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph build
         "vertices": _q_vertices,
         "edges": _q_edges,
-        "outdegree": _q_outdegree,
-        "dangling": _q_dangling,
+        "outdegree": _q_outdegree,  # + is_dangling (old `dangling`)
         "matrix_stats": _q_matrix_stats,
         # iterative algorithms (fixed-iteration, oracle-checked)
-        "pagerank": _q_pagerank,
+        "pagerank": _q_pagerank,  # + score_pvec (old `pagerank_pvec`)
         "pagerank_trans": _q_pagerank_trans,
         "pagerank_top20": _q_pagerank_top20,
-        "pagerank_pvec": _q_pagerank_pvec,
-        "hits": _q_hits,
-        "katz": _q_katz,
-        "eigenvector": _q_eigenvector,
-        "connected_components": _q_components,
-        "component_sizes": _q_component_sizes,
+        "spectral_centrality": _q_spectral,  # hits + katz + eigenvector
+        "connected_components": _q_components,  # + component_size
         "scc": _q_scc,
         "label_propagation": _q_label_propagation,
-        "triangle_count": _q_triangles,
-        "clustering": _q_clustering,
-        "kcore": _q_kcore,
-        "degree_distribution": _q_degree_distribution,
-        "indegree_distribution": _q_indegree_distribution,
-        "reciprocity": _q_reciprocity,
-        "bfs_distance": _q_bfs_distance,
-        "assortativity": _q_assortativity,
+        "vertex_structure": _q_vertex_structure,  # kcore + clustering
+        "degree_distributions": _q_degree_distributions,  # out + in
+        "graph_summary": _q_graph_summary,  # reciprocity+assortativity+tri
+        "bfs_harmonic": _q_bfs_harmonic,  # bfs_distance + harmonic (✓SQL)
         "host_edges": _q_host_edges,
-        "pagerank_by_host": _q_pagerank_by_host,
-        "host_pagerank": _q_host_pagerank,
+        "host_scores": _q_host_scores,  # pagerank_by_host + host_pagerank
         "random_walks": _q_random_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "node2vec_walks": _q_node2vec_walks,
         "sampled_edges": _q_sampled_edges,
-        # convergence-driven / approximate variants (rows-only; pytest owns
-        # conformance)
-        "neighborhood_function": _q_hyperanf,
-        "effective_diameter": _q_effective_diameter,
-        "betweenness": _q_betweenness,
-        "harmonic_centrality": _q_harmonic,
-        "pagerank_converged": _q_pagerank_converged,
-        "pagerank_inout": _q_pagerank_inout,
-        "pagerank_arnoldi": _q_pagerank_arnoldi,
         "runscript": _q_runscript,
+        # convergence-driven / approximate (rows-only; pytest conformance)
+        "pagerank_solvers": _q_pagerank_solvers,  # power/inout/arnoldi @tol
+        "betweenness": _q_betweenness,
+        "neighborhood_function": _q_hyperanf,  # + effective_diameter_90
         # documents: dedup + text analysis
         "exact_dedup": _q_exact_dedup,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "doc_fingerprint": _q_fingerprint,
-        "top_terms": _q_top_terms,
-        "term_doc_freq": _q_term_doc_freq,
+        "doc_stats": _q_doc_stats,  # quality(+token_counts) + lang_id
+        "doc_hashes": _q_doc_hashes,  # fingerprint + simhash
+        "vocabulary": _q_vocabulary,  # top_terms(tf) + term_doc_freq(df)
         "tfidf": _q_tfidf,
         "top_bigrams": _q_top_bigrams,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_dedup": _q_near_dup_dedup,
         "minhash_candidates": _q_minhash_candidates,
-        "simhash": _q_simhash,
         # embeddings: similarity search
         "embedding_knn": _q_knn,
         "embedding_near_dup": _q_emb_near_dup,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
+        "ann_methods": _q_ann_methods,  # lsh + ivf (rows-only, recall-tested)
         # multimodal + events
-        "media_features": _q_media_features,
+        "media_features": _q_media_features,  # + resize meta
         "media_decoded": _q_media_decoded,
         "media_frames": _q_media_frames,
-        "media_resized": _q_media_resized,
         "events_windowed": _q_events_windowed,
         "user_sessions": _q_user_sessions,
         "events_asof": _q_events_asof,
@@ -1605,6 +1681,75 @@ def _bfs_sql(iters: int, seed: int) -> str:
     )
 
 
+def _clustering_sql() -> str:
+    """Per-vertex triangle counts + local clustering coefficient (each
+    triangle counted once per corner via the oriented und join)."""
+    return f"""WITH {_GRAPH_CTES},
+tri_v AS (
+  SELECT v, count(*)::BIGINT AS c FROM (
+    SELECT e1.a AS v FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e1.b FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e2.b FROM und e1 JOIN und e2 ON e1.b = e2.a
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) GROUP BY v
+),
+udeg AS (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src)
+SELECT v.id, coalesce(t.c, 0)::BIGINT AS n_tri,
+       CASE WHEN coalesce(d.c, 0) >= 2
+            THEN round(2.0 * coalesce(t.c, 0) / (d.c * (d.c - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM verts v LEFT JOIN tri_v t ON v.id = t.v LEFT JOIN udeg d ON v.id = d.id"""
+
+
+def _harmonic_sql(iters: int, n_seeds: int) -> str:
+    """Sampled harmonic centrality oracle (round 4): the bfs min-plus
+    unroll with a seed dimension — seeds are the same deterministic
+    id % step == 0 sample the Ray query uses — then the V/k-scaled
+    Σ 1/dist estimator per vertex. Rounding is floor(x·1e6 + 0.5)/1e6
+    on BOTH sides (binary-domain half-up), NOT round()/np.round: the
+    V/k scale is dyadic and 1/d is dyadic for power-of-two distances,
+    so values land EXACTLY on x.xxxxxx5 decimal ties where numpy's and
+    DuckDB's tie-breaking disagree; the floor form is the same IEEE
+    multiply-add-floor on both engines, hence bit-identical."""
+    inf = 1 << 40
+    parts = [
+        _GRAPH_CTES,
+        f""", hstep AS (SELECT greatest(1, (SELECT v FROM nv) // {n_seeds})::BIGINT AS s),
+hseeds AS MATERIALIZED (
+  SELECT id AS seed FROM verts
+  WHERE id % (SELECT s FROM hstep) = 0
+  ORDER BY id LIMIT {n_seeds}
+), hb0 AS MATERIALIZED (
+  SELECT s.seed, v.id, CASE WHEN v.id = s.seed THEN 0 ELSE {inf} END::BIGINT AS d
+  FROM hseeds s CROSS JOIN verts v
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", hb{t} AS MATERIALIZED (
+  SELECT c.seed, c.id, least(c.d, coalesce(h.m + 1, c.d)) AS d
+  FROM hb{t-1} c
+  LEFT JOIN (
+    SELECT k.seed, u.dst AS id, min(k.d) AS m
+    FROM undb u JOIN hb{t-1} k ON u.src = k.id GROUP BY k.seed, u.dst
+  ) h ON c.seed = h.seed AND c.id = h.id
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT id, floor(sum(CASE WHEN d > 0 AND d < {inf} THEN {HARM_LCM} // d ELSE 0 END)::DOUBLE
+                 * ((SELECT v FROM nv)::DOUBLE / (SELECT count(*) FROM hseeds) / {HARM_LCM})
+                 * 1000000.0 + 0.5) / 1000000.0 AS harmonic
+FROM hb{iters} GROUP BY id"""
+    )
+
+
 def _lp_sql(iters: int) -> str:
     parts = [_GRAPH_CTES, ", lp0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
     for t in range(1, iters + 1):
@@ -1755,6 +1900,17 @@ _NTOKENS = rf"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 
 
 def oracle_sql() -> dict[str, str]:
+    host_expr = (
+        "regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://(?P<host>[^/]+)', 1)"
+    )
+    mass_by_host_sql = _pagerank_sql(PR_ITERS, pvec=False).replace(
+        f"SELECT id, round(x, 6) AS score FROM pr{PR_ITERS}",
+        f"""SELECT hv.host, round(sum(p.x), 6) AS pr_mass
+FROM pr{PR_ITERS} p JOIN (
+  SELECT id, {host_expr} AS host
+  FROM verts) hv ON p.id = hv.id
+GROUP BY hv.host""",
+    )
     lang_counts = ", ".join(
         f"len(list_filter({_TOKENS}, x -> x IN {words})) AS c_{lang}"
         for lang, words in _LANGS_SQL.items()
@@ -1768,8 +1924,8 @@ FROM documents""",
         "text_invariant": "SELECT count(*)::BIGINT AS n_pages, 0::BIGINT AS n_mismatch FROM documents",
         "vertices": f"WITH {_GRAPH_CTES} SELECT id, url FROM verts",
         "edges": f"WITH {_GRAPH_CTES} SELECT src, dst FROM edges",
-        "outdegree": f"WITH {_GRAPH_CTES} SELECT id, outdeg FROM outdeg_all",
-        "dangling": f"WITH {_GRAPH_CTES} SELECT id FROM outdeg_all WHERE outdeg = 0",
+        "outdegree": f"""WITH {_GRAPH_CTES}
+SELECT id, outdeg, (outdeg = 0)::BIGINT AS is_dangling FROM outdeg_all""",
         "matrix_stats": f"""WITH {_GRAPH_CTES}
 SELECT (SELECT v FROM nv) AS n_vertices,
        (SELECT count(*)::BIGINT FROM edges) AS n_edges,
@@ -1780,7 +1936,10 @@ SELECT (SELECT v FROM nv) AS n_vertices,
           SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.dst)) AS norm_1,
        (SELECT round(max(s), 6) FROM (
           SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.src)) AS norm_inf""",
-        "pagerank": _pagerank_sql(PR_ITERS, pvec=False),
+        "pagerank": f"""
+SELECT b.id, b.score, p.score AS score_pvec
+FROM ({_pagerank_sql(PR_ITERS, pvec=False)}) b
+JOIN ({_pagerank_sql(PR_PVEC_ITERS, pvec=True)}) p ON b.id = p.id""",
         # trans-storage load (M = A^T, column-normalized, y = M*x) must
         # equal plain row-stochastic PageRank — same oracle by design
         "pagerank_trans": _pagerank_sql(PR_ITERS, pvec=False),
@@ -1790,36 +1949,26 @@ SELECT (SELECT v FROM nv) AS n_vertices,
        id, round(x, 6) AS score
 FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
-        "pagerank_pvec": _pagerank_sql(PR_PVEC_ITERS, pvec=True),
-        "hits": _hits_sql(HITS_ITERS),
-        "katz": _katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
-        "eigenvector": _eig_sql(EIG_ITERS),
-        "connected_components": _cc_sql(CC_ITERS),
-        "component_sizes": _cc_sql(CC_ITERS).replace(
+        "spectral_centrality": f"""
+SELECT h.id, h.authority, h.hub, k.katz, e.score AS eigenvector
+FROM ({_hits_sql(HITS_ITERS)}) h
+JOIN ({_katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA)}) k ON h.id = k.id
+JOIN ({_eig_sql(EIG_ITERS)}) e ON h.id = e.id""",
+        "connected_components": _cc_sql(CC_ITERS).replace(
             f"SELECT id, lab AS component FROM cc{CC_ITERS}",
-            f"SELECT lab AS component, count(*)::BIGINT AS n_vertices FROM cc{CC_ITERS} GROUP BY lab",
+            f"""SELECT id, lab AS component,
+       (count(*) OVER (PARTITION BY lab))::BIGINT AS component_size
+FROM cc{CC_ITERS}""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
-        "kcore": _kcore_sql(KC_ITERS),
-        "clustering": f"""WITH {_GRAPH_CTES},
-tri_v AS (
-  SELECT v, count(*)::BIGINT AS c FROM (
-    SELECT e1.a AS v FROM und e1 JOIN und e2 ON e1.b = e2.a
-      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-    UNION ALL
-    SELECT e1.b FROM und e1 JOIN und e2 ON e1.b = e2.a
-      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-    UNION ALL
-    SELECT e2.b FROM und e1 JOIN und e2 ON e1.b = e2.a
-      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-  ) GROUP BY v
-),
-udeg AS (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src)
-SELECT v.id, coalesce(t.c, 0)::BIGINT AS n_tri,
-       CASE WHEN coalesce(d.c, 0) >= 2
-            THEN round(2.0 * coalesce(t.c, 0) / (d.c * (d.c - 1)), 6)
-            ELSE 0.0 END AS clustering
-FROM verts v LEFT JOIN tri_v t ON v.id = t.v LEFT JOIN udeg d ON v.id = d.id""",
+        "vertex_structure": f"""
+SELECT k.id, k.core, c.n_tri, c.clustering
+FROM ({_kcore_sql(KC_ITERS)}) k
+JOIN ({_clustering_sql()}) c ON k.id = c.id""",
+        "bfs_harmonic": f"""
+SELECT b.id, b.dist, h.harmonic
+FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b
+JOIN ({_harmonic_sql(BFS_ITERS, HARM_SEEDS)}) h ON b.id = h.id""",
         "scc": f"""WITH RECURSIVE {_GRAPH_CTES},
 reach(a, b) AS (
   SELECT id, id FROM verts
@@ -1829,7 +1978,6 @@ reach(a, b) AS (
 SELECT r1.a AS id, min(r1.b)::BIGINT AS scc
 FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
 GROUP BY r1.a""",
-        "bfs_distance": _bfs_sql(BFS_ITERS, BFS_SEED),
         "host_edges": f"""WITH {_GRAPH_CTES},
 hv AS MATERIALIZED (
   SELECT id, regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://(?P<host>[^/]+)', 1) AS host
@@ -1837,15 +1985,10 @@ hv AS MATERIALIZED (
 SELECT hs.host AS src_host, hd.host AS dst_host, count(*)::BIGINT AS n_edges
 FROM edges e JOIN hv hs ON e.src = hs.id JOIN hv hd ON e.dst = hd.id
 GROUP BY 1, 2""",
-        "pagerank_by_host": _pagerank_sql(PR_ITERS, pvec=False).replace(
-            f"SELECT id, round(x, 6) AS score FROM pr{PR_ITERS}",
-            f"""SELECT hv.host, round(sum(p.x), 6) AS score
-FROM pr{PR_ITERS} p JOIN (
-  SELECT id, regexp_extract(url, '^[a-z][a-z0-9+.\\-]*://(?P<host>[^/]+)', 1) AS host
-  FROM verts) hv ON p.id = hv.id
-GROUP BY hv.host""",
-        ),
-        "host_pagerank": _host_pagerank_sql(PR_ITERS),
+        "host_scores": f"""
+SELECT m.host, m.pr_mass, h.score AS host_pr
+FROM ({mass_by_host_sql}) m
+JOIN ({_host_pagerank_sql(PR_ITERS)}) h ON m.host = h.host""",
         "random_walks": _walks_sql(WALK_LEN, seed=0),
         "node2vec_walks": _node2vec_sql(WALK_LEN, p=0.5, q=2.0, seed=0),
         "sampled_edges": _sample_sql(SAMPLE_FRACTION, SAMPLE_SEED),
@@ -1854,31 +1997,31 @@ SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
 FROM corpus a JOIN corpus b
   ON a.walk_id = b.walk_id AND b.step > a.step AND b.step - a.step <= 2
 GROUP BY 1, 2""",
-        "assortativity": f"""WITH {_GRAPH_CTES},
+        "graph_summary": f"""WITH {_GRAPH_CTES},
 udeg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS c FROM undb GROUP BY src),
 tri AS (SELECT count(*)::BIGINT AS t
         FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
-wedges AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS w FROM udeg)
-SELECT round(corr(ds.c, dd.c), 6) AS assortativity,
-       (SELECT w FROM wedges) AS n_wedges,
-       (SELECT t FROM tri) AS n_triangles,
-       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6) AS transitivity
-FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
-        "degree_distribution": f"""WITH {_GRAPH_CTES}
-SELECT outdeg, count(*)::BIGINT AS n_vertices FROM outdeg_all GROUP BY outdeg""",
-        "indegree_distribution": f"""WITH {_GRAPH_CTES},
-ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)
-SELECT indeg, count(*)::BIGINT AS n_vertices FROM (
-  SELECT v.id, coalesce(i.c, 0)::BIGINT AS indeg
-  FROM verts v LEFT JOIN ind i ON v.id = i.id
-) GROUP BY indeg""",
-        "reciprocity": f"""WITH {_GRAPH_CTES},
+wedges AS (SELECT sum(c * (c - 1) // 2)::BIGINT AS w FROM udeg),
 recip AS (SELECT count(*)::BIGINT AS c
           FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src)
 SELECT (SELECT c FROM recip) AS n_reciprocal,
        (SELECT count(*)::BIGINT FROM edges) AS n_edges,
        round((SELECT c FROM recip)::DOUBLE /
-             (SELECT count(*) FROM edges), 6) AS reciprocity""",
+             (SELECT count(*) FROM edges), 6) AS reciprocity,
+       round(corr(ds.c, dd.c), 6) AS assortativity,
+       (SELECT w FROM wedges) AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6) AS transitivity
+FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
+        "degree_distributions": f"""WITH {_GRAPH_CTES},
+ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)
+SELECT 'out' AS direction, outdeg AS degree, count(*)::BIGINT AS n_vertices
+FROM outdeg_all GROUP BY outdeg
+UNION ALL
+SELECT 'in' AS direction, indeg AS degree, count(*)::BIGINT AS n_vertices FROM (
+  SELECT v.id, coalesce(i.c, 0)::BIGINT AS indeg
+  FROM verts v LEFT JOIN ind i ON v.id = i.id
+) GROUP BY indeg""",
         "runscript": " UNION ALL ".join(
             f"""SELECT * FROM (
   SELECT {r}::BIGINT AS run, 'power' AS alg, {a} AS alpha,
@@ -1888,15 +2031,15 @@ SELECT (SELECT c FROM recip) AS n_reciprocal,
   ORDER BY score DESC, id ASC LIMIT 1)"""
             for r, a in enumerate(RUNSCRIPT_ALPHAS)
         ),
-        "triangle_count": f"""WITH {_GRAPH_CTES}
-SELECT count(*)::BIGINT AS n_triangles
-FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
         "exact_dedup": """
 SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY md5(text)""",
-        "token_counts": f"SELECT doc_id, ({_NTOKENS})::BIGINT AS n_tokens FROM documents",
-        "quality_scores": f"""
-SELECT doc_id,
+        # quality scores (incl. the old token_counts' n_tokens) + lang-ID
+        # joined per doc — round-4 consolidation
+        "doc_stats": f"""
+WITH scored AS (SELECT doc_id, {lang_counts} FROM documents),
+q AS (
+  SELECT doc_id,
        length(text)::BIGINT AS n_chars_text,
        ({_NTOKENS})::BIGINT AS n_tokens,
        len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))::BIGINT AS n_stopwords,
@@ -1905,25 +2048,23 @@ SELECT doc_id,
             THEN round(len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))
                        / ({_NTOKENS})::DOUBLE, 6)
             ELSE 0.0 END AS stop_ratio
-FROM documents""",
-        "lang_id": f"""
-WITH scored AS (SELECT doc_id, {lang_counts} FROM documents)
-SELECT doc_id,
+  FROM documents
+)
+SELECT q.doc_id, q.n_chars_text, q.n_tokens, q.n_stopwords, q.n_punct,
+       q.stop_ratio,
        CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
             WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
             WHEN c_es >= c_fr THEN 'es'
             ELSE 'fr' END AS lang_pred
-FROM scored""",
-        "doc_fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
-        "top_terms": f"""
-WITH toks AS (SELECT unnest({_TOKENS}) AS term FROM documents WHERE trim(text) <> ''),
-counted AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term)
-SELECT term, n FROM counted ORDER BY n DESC, term ASC LIMIT 100""",
-        "term_doc_freq": f"""
+FROM q JOIN scored s ON q.doc_id = s.doc_id""",
+        # full vocabulary: term frequency + document frequency — round-4
+        # consolidation of top_terms/term_doc_freq (no top-k cut)
+        "vocabulary": f"""
 WITH toks AS (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents WHERE trim(text) <> ''),
-d AS (SELECT DISTINCT doc_id, term FROM toks)
-SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term
-ORDER BY df DESC, term ASC LIMIT 100""",
+tf AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term),
+d AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term)
+SELECT tf.term, tf.n, df.df FROM tf JOIN df ON tf.term = df.term""",
         "top_bigrams": f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1948,11 +2089,12 @@ n AS (SELECT count(*)::DOUBLE AS v FROM documents)
 SELECT t.doc_id, t.term, t.tf,
        round(t.tf * ln((SELECT v FROM n) / d.df), 6) AS tfidf
 FROM tf t JOIN tdf d ON t.term = d.term""",
-        # SimHash: token hash = first 8 bytes of md5(token) (hi/lo 32-bit
-        # halves to stay inside BIGINT); bit b of the signature is set iff
-        # 2·(ones at b) > n_tokens; emitted as 16-char hex, identical to
-        # functions/dedup.py::_simhash_values
-        "simhash": r"""
+        # doc_hashes = rolling-hash fingerprint (md5) + SimHash — round-4
+        # consolidation. SimHash: token hash = first 8 bytes of md5(token)
+        # (hi/lo 32-bit halves to stay inside BIGINT); bit b of the
+        # signature is set iff 2·(ones at b) > n_tokens; emitted as
+        # 16-char hex, identical to functions/dedup.py::_simhash_values
+        "doc_hashes": r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
   FROM documents WHERE trim(text) <> ''
@@ -1979,17 +2121,23 @@ sig AS (
                   THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS lo
   FROM bits JOIN cnt c ON bits.doc_id = c.doc_id GROUP BY bits.doc_id
 )
-SELECT d.doc_id,
+SELECT d.doc_id, md5(d.text) AS fingerprint,
        coalesce(printf('%08x%08x', s.hi, s.lo), '0000000000000000') AS simhash
 FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""",
         # media payload = utf-8 bytes of text (ASCII fixture: codepoint ==
-        # byte), so byte-level features are SQL-expressible
+        # byte), so byte-level features are SQL-expressible; round 4 folds
+        # the resize stage's output meta in (orig_bytes == n_bytes;
+        # linspace endpoints are exact so first/last bytes survive the
+        # byte-domain resize, sizes clamp at the 256-byte target)
         "media_features": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
        octet_length(encode(text))::BIGINT AS n_bytes,
        (coalesce(list_sum(list_transform(string_split(text, ''), x -> unicode(x))), 0)
-        % 2147483648)::BIGINT AS checksum
+        % 2147483648)::BIGINT AS checksum,
+       least(octet_length(encode(text)), 256)::BIGINT AS out_bytes,
+       CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END::BIGINT AS first_byte,
+       CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END::BIGINT AS last_byte
 FROM documents""",
         # frame sampling: payload = utf-8 text bytes sliced into 64-byte
         # frames; up to 4 evenly spaced (k·total // take), ASCII fixture
@@ -2006,16 +2154,6 @@ SELECT media_id,
        md5(substr(text, ((k.k * total // take) * 64 + 1)::INT, 64)) AS frame_md5
 FROM f CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
 WHERE k.k < take""",
-        # byte-domain resize: linspace endpoints are exact, so first/last
-        # bytes survive; sizes clamp at the 256-byte target
-        "media_resized": """
-SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
-       octet_length(encode(text))::BIGINT AS orig_bytes,
-       least(octet_length(encode(text)), 256)::BIGINT AS out_bytes,
-       CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END::BIGINT AS first_byte,
-       CASE WHEN length(text) > 0 THEN unicode(substr(text, length(text), 1)) ELSE -1 END::BIGINT AS last_byte
-FROM documents""",
         "near_dup_jaccard": f"""WITH {_SHINGLE_CTES},
 common AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, count(*)::BIGINT AS inter

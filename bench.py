@@ -128,6 +128,50 @@ class _ContentionSampler:
         return out
 
 
+def _quiet_gate(
+    threshold: float = 2.0,
+    probe_sec: float = 16.0,
+    retry_sleep: float = 45.0,
+    max_wait: float = 420.0,
+) -> dict:
+    """Round-4 ADVICE: use the contention sampler as a GATE, not just
+    telemetry. Probe co-tenant cores for ~probe_sec; if p50 > threshold
+    sleep and re-probe until max_wait is spent, then proceed anyway with
+    the decision recorded — the JSON always says whether its numbers were
+    captured in a verified-quiet window. Override with PPR_BENCH_NO_GATE=1
+    (e.g. for intentionally-loaded scaling studies)."""
+    if os.environ.get("PPR_BENCH_NO_GATE"):
+        return {"enabled": False}
+    t_start = time.time()
+    probes = []
+    while True:
+        s = _ContentionSampler(interval=2.0)
+        s.start()
+        time.sleep(probe_sec)
+        s._stop.set()
+        s._thread.join(timeout=5)
+        vals = sorted(c for _, c in s.samples)
+        p50 = vals[len(vals) // 2] if vals else 0.0
+        probes.append(p50)
+        if p50 <= threshold:
+            return {
+                "enabled": True,
+                "quiet": True,
+                "threshold": threshold,
+                "probe_p50s": probes,
+                "waited_sec": round(time.time() - t_start, 1),
+            }
+        if time.time() - t_start + retry_sleep + probe_sec > max_wait:
+            return {
+                "enabled": True,
+                "quiet": False,  # proceeding under measured load
+                "threshold": threshold,
+                "probe_p50s": probes,
+                "waited_sec": round(time.time() - t_start, 1),
+            }
+        time.sleep(retry_sleep)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -136,6 +180,7 @@ def run_bench() -> dict:
     bench_pages = int(os.environ.get("PPR_BENCH_PAGES", "4000000"))
     replicate = int(os.environ.get("PPR_BENCH_REPLICATE", "120"))
 
+    gate = _quiet_gate()
     contention = _ContentionSampler()
     contention.start()
     phase_marks: list = []
@@ -326,6 +371,7 @@ def run_bench() -> dict:
     )
 
     ray.shutdown()
+    extra["quiet_gate"] = gate
     extra["contention"] = contention.summary(phase_marks)
     return {
         "metric": "link-graph pipeline seconds (e2e + PageRank-to-1e-6 + components + triangles + minhash + dedup + knn)",

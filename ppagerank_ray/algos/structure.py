@@ -124,7 +124,9 @@ def wedge_count(engine: VertexEngine) -> int:
     return int(sum(parts))
 
 
-def harmonic_centrality(engine: VertexEngine, seeds=None, out: str = "harm"):
+def harmonic_centrality(
+    engine: VertexEngine, seeds=None, out: str = "harm", lcm_num: int = 0
+):
     """Harmonic centrality H(v) = Σ_{u≠v} 1/d(u, v) over the loaded
     undirected graph — one BFS fixpoint per seed, then a fused
     1/dist accumulation worker-side (vec_add_inv_ivec); unreachable and
@@ -145,6 +147,13 @@ def harmonic_centrality(engine: VertexEngine, seeds=None, out: str = "harm"):
         batch = seeds[w0 : w0 + wave]
         rounds += engine.ms_bfs(batch)["rounds"]
         ray.get([w.ms_harmonic_accum.remote(out, V) for w in W])
+        if lcm_num:
+            ray.get(
+                [
+                    w.ms_harmonic_accum_num.remote(out + "_num", V, lcm_num)
+                    for w in W
+                ]
+            )
         ray.get([w.ms_free.remote() for w in W])
     return {
         "algorithm": "harmonic",

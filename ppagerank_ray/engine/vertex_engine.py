@@ -796,6 +796,20 @@ class _VertexWorker:
             axis=0
         )
 
+    def ms_harmonic_accum_num(self, out: str, sentinel: int, lcm: int):
+        """ivecs[out] += Σ_j lcm/dist_j (exact integer numerator of the
+        harmonic sum over a common denominator — integer addition is
+        associative, so the total is wave- and order-invariant and can be
+        reproduced bit-exactly by a SQL SUM; the float estimate is then
+        ONE deterministic multiply, not a float accumulation)."""
+        d = self.msi["dist"]
+        m = (d > 0) & (d < sentinel)
+        num = np.zeros(d.shape, np.int64)
+        num[m] = lcm // d[m]
+        self.ivecs[out] = self.ivecs.get(
+            out, np.zeros(self.size, np.int64)
+        ) + num.sum(axis=0)
+
     # ---------- degree assortativity (edge-moment partials) ----------
 
     def degree_moment_partials(self, deg_parts: list, base_lo: int):
