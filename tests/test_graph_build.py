@@ -148,7 +148,7 @@ def test_fast_build_external_guard_falls_back(sf_tiny, monkeypatch):
     import ppagerank_ray.graph.build as gb
 
     monkeypatch.setattr(gb, "EXT_MAX_URLS", 0)
-    with pytest.raises(AssertionError):
+    with pytest.raises(gb.FastPathUnavailable):
         gb.build_graph_fast(synth_pages(sf_tiny))
     gt = gb.build_graph(synth_pages(sf_tiny))  # falls back to generic
     assert gt.n_edges > 0 and not gt.edges_sorted
@@ -162,7 +162,7 @@ def test_fast_build_vertex_gate_falls_back(sf_tiny, monkeypatch):
 
     base = gb.build_graph(synth_pages(sf_tiny))
     monkeypatch.setattr(gb, "BROADCAST_MAX_VERTICES", 3)
-    with pytest.raises(AssertionError):
+    with pytest.raises(gb.FastPathUnavailable):
         gb.build_graph_fast(synth_pages(sf_tiny))
     gt = gb.build_graph(synth_pages(sf_tiny))  # falls back to generic
     assert not gt.edges_sorted
