@@ -80,6 +80,63 @@ def _attach_ids(t: pa.Table, offset: int) -> pa.Table:
     return pa.Table.from_arrays([ids, t["url"]], names=["id", "url"])
 
 
+def _lookup_concurrency() -> int:
+    """Actor-pool width for the url-lookup stages: enough to keep the
+    pipeline fed, few enough that the per-actor O(V) hash index doesn't
+    multiply across the node (each actor holds one copy)."""
+    import ray
+
+    return max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+
+
+class _ExtUrlScan:
+    """Stateful per-batch scan for link targets NOT in the page-url set.
+    The pd.Index hash table over the broadcast url array is built once
+    per actor in __init__ (ST3 pattern); __call__ is one vectorized
+    get_indexer + unique per batch. pc.index_in is NOT used because it
+    re-hashes the whole value set per call — O(V) per batch."""
+
+    def __init__(self, url_ref):
+        import pandas as pd
+
+        self.idx = pd.Index(ray.get(url_ref).to_pandas())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dst = t["dst_url"].to_pandas()
+        pos = self.idx.get_indexer(dst)
+        ext = dst[pos == -1].unique()
+        return pa.Table.from_pydict({"url": pa.array(ext, pa.string())})
+
+
+class _UrlIdMapper:
+    """Stateful (src_url, dst_url) → (src, dst) id mapping: page ids are
+    positions in the sorted url array, external targets get trailing ids
+    n_pages + rank. Both hash indexes build once per actor."""
+
+    def __init__(self, url_ref, ext_ref, n_pages: int):
+        import pandas as pd
+
+        self.idx = pd.Index(ray.get(url_ref).to_pandas())
+        self.ext_idx = pd.Index(ray.get(ext_ref))
+        self.n_pages = n_pages
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = self.idx.get_indexer(t["src_url"].to_pandas())
+        if (src < 0).any():
+            raise ValueError("link src url missing from pages")
+        dst_urls = t["dst_url"].to_pandas()
+        dst = self.idx.get_indexer(dst_urls)
+        miss = dst < 0
+        if miss.any():
+            epos = self.ext_idx.get_indexer(dst_urls[miss])
+            if (epos < 0).any():
+                raise ValueError("link dst url missing from vertex table")
+            dst[miss] = self.n_pages + epos
+        return pa.Table.from_pydict(
+            {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
+        )
+
+
 def sort_assign_ids(urls: rd.Dataset) -> rd.Dataset:
     """Distinct-url Dataset → (id, url) with id = global url sort rank.
 
@@ -143,15 +200,29 @@ def map_links_to_ids(
         return map_links_via_hash_join(links, vertices)
     url_ref = ray.put(_vertex_url_array(vertices, n_vertices))
 
-    def lookup(t: pa.Table) -> pa.Table:
-        value_set = ray.get(url_ref)
-        src = pc.index_in(t["src_url"], value_set=value_set).cast(pa.int64())
-        dst = pc.index_in(t["dst_url"], value_set=value_set).cast(pa.int64())
-        if src.null_count or dst.null_count:
-            raise ValueError("link endpoint missing from vertex table")
-        return pa.Table.from_arrays([src, dst], names=["src", "dst"])
+    class _Lookup:
+        # hash index over the broadcast url array built ONCE per actor;
+        # pc.index_in would re-hash the O(V) value set per batch
+        def __init__(self):
+            import pandas as pd
 
-    return links.map_batches(lookup, batch_format="pyarrow", batch_size=65536)
+            self.idx = pd.Index(ray.get(url_ref).to_pandas())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            src = self.idx.get_indexer(t["src_url"].to_pandas())
+            dst = self.idx.get_indexer(t["dst_url"].to_pandas())
+            if (src < 0).any() or (dst < 0).any():
+                raise ValueError("link endpoint missing from vertex table")
+            return pa.Table.from_pydict(
+                {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
+            )
+
+    return links.map_batches(
+        _Lookup,
+        batch_format="pyarrow",
+        batch_size=65536,
+        concurrency=_lookup_concurrency(),
+    )
 
 
 def dedup_edges(edge_ids: rd.Dataset) -> rd.Dataset:
@@ -486,15 +557,17 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
     url_arr = _vertex_url_array(vertices_pages, n_pages)
     url_ref = ray.put(url_arr)
 
-    # distinct external urls (tiny): per-batch unique → driver union
-    def ext_urls_batch(t: pa.Table) -> pa.Table:
-        vs = ray.get(url_ref)
-        dst = pc.index_in(t["dst_url"], value_set=vs)
-        ext = pc.unique(pc.filter(t["dst_url"], pc.is_null(dst)))
-        return pa.Table.from_pydict({"url": ext})
-
+    # distinct external urls (tiny): per-batch unique → driver union.
+    # Stateful actor pool, NOT a plain fn: the url→position hash index is
+    # built ONCE per actor (__init__), where pc.index_in would rebuild an
+    # O(V) hash of the value set on EVERY batch — measured 28× superlinear
+    # build time at 6M pages (round-4 scale run).
     ext_parts = links.select_columns(["dst_url"]).map_batches(
-        ext_urls_batch, batch_format="pyarrow", batch_size=262144
+        _ExtUrlScan,
+        fn_constructor_args=(url_ref,),
+        batch_format="pyarrow",
+        batch_size=262144,
+        concurrency=_lookup_concurrency(),
     ).materialize()
     # cardinality guard BEFORE anything reaches the driver: per-block
     # distinct counts upper-bound the global distinct count
@@ -516,28 +589,16 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
             "external urls must sort after page urls for trailing-id "
             "assignment; use build_graph(use_fast=False) otherwise"
         )
-    ext_id = {u: n_pages + i for i, u in enumerate(ext_urls)}
     n_vertices = n_pages + len(ext_urls)
-    ext_ref = ray.put(ext_id)
+    ext_ref = ray.put(ext_urls)
 
-    def map_ids(t: pa.Table) -> pa.Table:
-        vs = ray.get(url_ref)
-        em = ray.get(ext_ref)
-        src = pc.index_in(t["src_url"], value_set=vs).cast(pa.int64())
-        dst = pc.index_in(t["dst_url"], value_set=vs).cast(pa.int64())
-        if src.null_count:
-            raise ValueError("link src url missing from pages")
-        if dst.null_count:
-            miss = np.flatnonzero(
-                pc.is_null(dst).to_numpy(zero_copy_only=False)
-            )
-            miss_urls = t["dst_url"].take(pa.array(miss)).to_pylist()
-            d = dst.fill_null(0).to_numpy().copy()
-            d[miss] = [em[u] for u in miss_urls]
-            dst = pa.array(d, type=pa.int64())
-        return pa.Table.from_pydict({"src": src, "dst": dst})
-
-    edge_ids = links.map_batches(map_ids, batch_format="pyarrow", batch_size=262144)
+    edge_ids = links.map_batches(
+        _UrlIdMapper,
+        fn_constructor_args=(url_ref, ext_ref, n_pages),
+        batch_format="pyarrow",
+        batch_size=262144,
+        concurrency=_lookup_concurrency(),
+    )
     sorted_edges = (
         edge_ids.repartition(shuffle_blocks()).sort(["src", "dst"]).materialize()
     )

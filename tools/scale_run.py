@@ -1,19 +1,18 @@
 """Round-4 scale-up evidence run (VERDICT item 7): the headline pipelines
 at ~10× the per-round bench scale, proving the scale gates fire and the
-driver's memory stays flat. Prints one JSON line with per-phase seconds,
-the engine manifests' per-iteration SpMV shuffle bytes, and driver RSS
-after every phase.
+driver's memory stays flat. Each phase prints its own JSON line AS IT
+COMPLETES (so a timeout loses nothing), with the engine manifests'
+per-iteration SpMV shuffle bytes and driver RSS.
 
-Phases (defaults; override via argv):
+Phases (PHASES env, comma list; default all):
   e2e        build_graph → engine → PageRank at replicate=1200
-             (6M pages vs the bench's 600k)
+             (6M pages vs the bench's 600k) + components on the graph
   pagerank   formula graph at 40M pages / ~122M edges (bench: 4M/12.2M)
-  components undirected fixpoint on the e2e graph
   minhash    MinHash → LSH candidates → verified near-dup pairs over the
              documents table replicated 10× (clones carry a distinct
              suffix token, so clone-groups are near- not exact-dups)
 
-Usage: python tools/scale_run.py [replicate] [pages] [doc_copies]
+Usage: PHASES=e2e python tools/scale_run.py [replicate] [pages] [doc_copies]
 """
 
 from __future__ import annotations
@@ -41,6 +40,9 @@ def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000_000
     doc_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    phases = set(
+        os.environ.get("PHASES", "e2e,pagerank,minhash").split(",")
+    )
 
     import ray
 
@@ -56,10 +58,11 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
 
-    from ppagerank_ray import tune_data_context
-
-    tune_data_context()
-
+    # deliberately NOT tune_data_context(): its 2MiB blocks are for the
+    # MB-scale bench inputs; at 6M pages (~10GB of text) they shatter the
+    # pipeline into thousands of tiny tasks that each rebuild the
+    # broadcast url hash set — Ray's 128MiB defaults are the scale
+    # setting (the function's own docstring says so)
     from ppagerank_ray.algos.components import connected_components
     from ppagerank_ray.algos.pagerank import power_iteration
     from ppagerank_ray.config import PageRankConfig
@@ -73,90 +76,96 @@ def main() -> None:
     ncpu = int(ray.cluster_resources()["CPU"])
     P = min(8, ncpu)
     T = max(1, ncpu // P)
-    out: dict = {"replicate": replicate, "pages": pages, "rss_gib": {}}
 
-    # --- e2e: pages → graph → PageRank at 10× the bench replicate ---
-    t0 = time.time()
-    gt = build_graph(synth_pages(sf_dir, replicate=replicate))
-    out["e2e_build_sec"] = round(time.time() - t0, 1)
-    out["e2e_vertices"] = gt.n_vertices
-    out["e2e_edges"] = gt.n_edges
-    eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
-    t0 = time.time()
-    eng.load_directed(gt.edges, presorted=gt.edges_sorted)
-    out["e2e_load_sec"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    info = power_iteration(eng, PageRankConfig(alpha=0.85, tol=1e-6))
-    out["e2e_pagerank_sec"] = round(time.time() - t0, 1)
-    out["e2e_iterations"] = info["iteration"]
-    out["e2e_shuffle"] = eng.shuffle_profile()
-    out["rss_gib"]["after_e2e"] = rss_gib()
+    def emit(rec: dict) -> None:
+        rec["rss_gib"] = rss_gib()
+        print(json.dumps(rec), flush=True)
 
-    # --- components on the same graph ---
-    und = build_undirected(gt.edges)
-    ceng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
-    ceng.load_undirected(und, presorted=True)
-    t0 = time.time()
-    cc = connected_components(ceng)
-    out["components_sec"] = round(time.time() - t0, 1)
-    out["components_rounds"] = cc["rounds"]
-    ceng.shutdown()
-    eng.shutdown()
-    del gt
-    out["rss_gib"]["after_components"] = rss_gib()
+    if "e2e" in phases:
+        rec: dict = {"phase": "e2e", "replicate": replicate}
+        t0 = time.time()
+        gt = build_graph(synth_pages(sf_dir, replicate=replicate))
+        rec["build_sec"] = round(time.time() - t0, 1)
+        rec["vertices"] = gt.n_vertices
+        rec["edges"] = gt.n_edges
+        eng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
+        t0 = time.time()
+        eng.load_directed(gt.edges, presorted=gt.edges_sorted)
+        rec["load_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        info = power_iteration(eng, PageRankConfig(alpha=0.85, tol=1e-6))
+        rec["pagerank_sec"] = round(time.time() - t0, 1)
+        rec["iterations"] = info["iteration"]
+        rec["shuffle"] = eng.shuffle_profile()
+        eng.shutdown()
+        emit(rec)
 
-    # --- big formula-graph PageRank (the primary engine metric, 10×) ---
-    nv = n_vertices_for(pages)
-    edges = synth_edges(pages, parallelism=ncpu * 4)
-    eng = VertexEngine(nv, num_partitions=P, n_threads=T)
-    t0 = time.time()
-    n_edges = eng.load_directed(edges, presorted=True)
-    out["pagerank_load_sec"] = round(time.time() - t0, 1)
-    out["pagerank_edges"] = n_edges
-    power_iteration(eng, PageRankConfig(alpha=0.85, tol=0.0, maxiter=2))
-    t0 = time.time()
-    power_iteration(eng, PageRankConfig(alpha=0.85, tol=0.0, maxiter=5))
-    dt = time.time() - t0
-    iter_secs = sorted(h["sec"] for h in eng.history)
-    p20 = iter_secs[max(0, len(iter_secs) // 5 - 1)]
-    out["pagerank_5iter_sec"] = round(dt, 1)
-    out["pagerank_sec_per_iter_p20"] = round(p20, 3)
-    out["pagerank_edges_per_sec"] = round(n_edges / p20)
-    out["pagerank_shuffle"] = eng.shuffle_profile()
-    eng.shutdown()
-    out["rss_gib"]["after_pagerank"] = rss_gib()
+        rec = {"phase": "components", "replicate": replicate}
+        und = build_undirected(gt.edges)
+        ceng = VertexEngine(gt.n_vertices, num_partitions=P, n_threads=T)
+        t0 = time.time()
+        ceng.load_undirected(und, presorted=True)
+        rec["load_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        cc = connected_components(ceng)
+        rec["fixpoint_sec"] = round(time.time() - t0, 1)
+        rec["rounds"] = cc["rounds"]
+        ceng.shutdown()
+        del gt
+        emit(rec)
 
-    # --- minhash near-dup over documents × doc_copies ---
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    n_docs = docs.count()
+    if "pagerank" in phases:
+        rec = {"phase": "pagerank", "pages": pages}
+        nv = n_vertices_for(pages)
+        edges = synth_edges(pages, parallelism=ncpu * 4)
+        eng = VertexEngine(nv, num_partitions=P, n_threads=T)
+        t0 = time.time()
+        n_edges = eng.load_directed(edges, presorted=True)
+        rec["load_sec"] = round(time.time() - t0, 1)
+        rec["edges"] = n_edges
+        power_iteration(eng, PageRankConfig(alpha=0.85, tol=0.0, maxiter=2))
+        t0 = time.time()
+        power_iteration(eng, PageRankConfig(alpha=0.85, tol=0.0, maxiter=5))
+        rec["iter5_sec"] = round(time.time() - t0, 1)
+        iter_secs = sorted(h["sec"] for h in eng.history)
+        p20 = iter_secs[max(0, len(iter_secs) // 5 - 1)]
+        rec["sec_per_iter_p20"] = round(p20, 3)
+        rec["edges_per_sec"] = round(n_edges / p20)
+        rec["shuffle"] = eng.shuffle_profile()
+        eng.shutdown()
+        emit(rec)
 
-    def clone(t: pa.Table) -> pa.Table:
-        ids, texts = [], []
-        base_ids = t["doc_id"].to_numpy()
-        base_txt = t["text"].to_pylist()
-        for k in range(doc_copies):
-            ids.append(base_ids + np.int64(k * n_docs * 10))
-            texts.extend(s + f" clonetoken{k}" for s in base_txt)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": np.concatenate(ids),
-                "text": pa.array(texts, pa.string()),
-            }
+    if "minhash" in phases:
+        rec = {"phase": "minhash", "doc_copies": doc_copies}
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
+        n_docs = docs.count()
 
-    big_docs = docs.map_batches(
-        clone, batch_format="pyarrow", batch_size=1024
-    ).materialize()
-    out["minhash_docs"] = big_docs.count()
-    t0 = time.time()
-    pairs = near_dup_pairs(big_docs, threshold=0.7)
-    out["minhash_near_dup_sec"] = round(time.time() - t0, 1)
-    out["minhash_pairs"] = pairs.num_rows
-    out["rss_gib"]["after_minhash"] = rss_gib()
+        def clone(t: pa.Table) -> pa.Table:
+            ids, texts = [], []
+            base_ids = t["doc_id"].to_numpy()
+            base_txt = t["text"].to_pylist()
+            for k in range(doc_copies):
+                ids.append(base_ids + np.int64(k * n_docs * 10))
+                texts.extend(s + f" clonetoken{k}" for s in base_txt)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
 
-    print(json.dumps(out))
+        big_docs = docs.map_batches(
+            clone, batch_format="pyarrow", batch_size=1024
+        ).materialize()
+        rec["docs"] = big_docs.count()
+        t0 = time.time()
+        pairs = near_dup_pairs(big_docs, threshold=0.7)
+        rec["near_dup_sec"] = round(time.time() - t0, 1)
+        rec["pairs"] = pairs.num_rows
+        emit(rec)
+
     ray.shutdown()
 
 
