@@ -80,61 +80,55 @@ def _attach_ids(t: pa.Table, offset: int) -> pa.Table:
     return pa.Table.from_arrays([ids, t["url"]], names=["id", "url"])
 
 
-def _lookup_concurrency() -> int:
-    """Actor-pool width for the url-lookup stages: enough to keep the
-    pipeline fed, few enough that the per-actor O(V) hash index doesn't
-    multiply across the node (each actor holds one copy)."""
-    import ray
+def _ext_url_scan(pref, width: int):
+    """Per-batch scan for link targets NOT in the page-url set: one
+    searchsorted against the packed index (plasma-shared, zero-copy in
+    every worker — ray.get of a numpy array maps the same buffer) + one
+    Arrow unique over the misses. Plain tasks, no per-task state: the
+    packed matrix needs no per-worker hash build, which is the whole
+    point — the pd.Index / pc.index_in alternatives cost O(V) Python
+    objects or O(V) re-hashing per worker/batch (measured 469 s vs
+    ~20 s for this stage at 6M pages; see urlindex.py)."""
 
-    return max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) // 4))
+    def scan(t: pa.Table) -> pa.Table:
+        from ppagerank_ray.graph.urlindex import lookup_positions
 
+        dst = t["dst_url"]
+        pos = lookup_positions(ray.get(pref), width, dst)
+        ext = pc.unique(
+            dst.combine_chunks().filter(pa.array(pos < 0))
+        )
+        return pa.Table.from_pydict({"url": ext})
 
-class _ExtUrlScan:
-    """Stateful per-batch scan for link targets NOT in the page-url set.
-    The pd.Index hash table over the broadcast url array is built once
-    per actor in __init__ (ST3 pattern); __call__ is one vectorized
-    get_indexer + unique per batch. pc.index_in is NOT used because it
-    re-hashes the whole value set per call — O(V) per batch."""
-
-    def __init__(self, url_ref):
-        import pandas as pd
-
-        self.idx = pd.Index(ray.get(url_ref).to_pandas())
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        dst = t["dst_url"].to_pandas()
-        pos = self.idx.get_indexer(dst)
-        ext = dst[pos == -1].unique()
-        return pa.Table.from_pydict({"url": pa.array(ext, pa.string())})
+    return scan
 
 
-class _UrlIdMapper:
-    """Stateful (src_url, dst_url) → (src, dst) id mapping: page ids are
-    positions in the sorted url array, external targets get trailing ids
-    n_pages + rank. Both hash indexes build once per actor."""
+def _url_id_mapper(pref, width: int, eref, ewidth: int, n_pages: int):
+    """(src_url, dst_url) → (src, dst): page ids are positions in the
+    sorted packed url matrix; misses resolve to trailing ids n_pages +
+    rank in the packed external matrix. Two searchsorteds per batch."""
 
-    def __init__(self, url_ref, ext_ref, n_pages: int):
-        import pandas as pd
+    def map_ids(t: pa.Table) -> pa.Table:
+        from ppagerank_ray.graph.urlindex import lookup_positions
 
-        self.idx = pd.Index(ray.get(url_ref).to_pandas())
-        self.ext_idx = pd.Index(ray.get(ext_ref))
-        self.n_pages = n_pages
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        src = self.idx.get_indexer(t["src_url"].to_pandas())
+        packed = ray.get(pref)
+        src = lookup_positions(packed, width, t["src_url"])
         if (src < 0).any():
             raise ValueError("link src url missing from pages")
-        dst_urls = t["dst_url"].to_pandas()
-        dst = self.idx.get_indexer(dst_urls)
+        dst = lookup_positions(packed, width, t["dst_url"])
         miss = dst < 0
         if miss.any():
-            epos = self.ext_idx.get_indexer(dst_urls[miss])
+            epos = lookup_positions(
+                ray.get(eref),
+                ewidth,
+                t["dst_url"].combine_chunks().filter(pa.array(miss)),
+            )
             if (epos < 0).any():
                 raise ValueError("link dst url missing from vertex table")
-            dst[miss] = self.n_pages + epos
-        return pa.Table.from_pydict(
-            {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
-        )
+            dst[miss] = n_pages + epos
+        return pa.Table.from_pydict({"src": src, "dst": dst})
+
+    return map_ids
 
 
 def sort_assign_ids(urls: rd.Dataset) -> rd.Dataset:
@@ -198,31 +192,32 @@ def map_links_to_ids(
         from ppagerank_ray.ops.joins import map_links_via_hash_join
 
         return map_links_via_hash_join(links, vertices)
-    url_ref = ray.put(_vertex_url_array(vertices, n_vertices))
-
-    class _Lookup:
-        # hash index over the broadcast url array built ONCE per actor;
-        # pc.index_in would re-hash the O(V) value set per batch
-        def __init__(self):
-            import pandas as pd
-
-            self.idx = pd.Index(ray.get(url_ref).to_pandas())
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            src = self.idx.get_indexer(t["src_url"].to_pandas())
-            dst = self.idx.get_indexer(t["dst_url"].to_pandas())
-            if (src < 0).any() or (dst < 0).any():
-                raise ValueError("link endpoint missing from vertex table")
-            return pa.Table.from_pydict(
-                {"src": src.astype(np.int64), "dst": dst.astype(np.int64)}
-            )
-
-    return links.map_batches(
-        _Lookup,
-        batch_format="pyarrow",
-        batch_size=65536,
-        concurrency=_lookup_concurrency(),
+    from ppagerank_ray.graph.urlindex import (
+        SortedUrlIndex,
+        UrlIndexUnavailable,
+        lookup_positions,
     )
+
+    try:
+        ix = SortedUrlIndex.build(_vertex_url_array(vertices, n_vertices))
+    except UrlIndexUnavailable:
+        # NUL-bearing or non-byte-sorted urls: rare enough that the
+        # shuffle join is the honest fallback (exact for any strings)
+        from ppagerank_ray.ops.joins import map_links_via_hash_join
+
+        return map_links_via_hash_join(links, vertices)
+    pref, width = ray.put(ix.packed), ix.width
+
+    def lookup(t: pa.Table) -> pa.Table:
+        # searchsorted against the plasma-shared packed matrix — no
+        # per-worker hash build, no Python-object boxing (urlindex.py)
+        src = lookup_positions(ray.get(pref), width, t["src_url"])
+        dst = lookup_positions(ray.get(pref), width, t["dst_url"])
+        if (src < 0).any() or (dst < 0).any():
+            raise ValueError("link endpoint missing from vertex table")
+        return pa.Table.from_pydict({"src": src, "dst": dst})
+
+    return links.map_batches(lookup, batch_format="pyarrow", batch_size=65536)
 
 
 def dedup_edges(edge_ids: rd.Dataset) -> rd.Dataset:
@@ -554,20 +549,28 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
             "driver arrays — use build_graph(use_fast=False)"
         )
 
+    from ppagerank_ray.graph.urlindex import (
+        SortedUrlIndex,
+        UrlIndexUnavailable,
+    )
+
     url_arr = _vertex_url_array(vertices_pages, n_pages)
-    url_ref = ray.put(url_arr)
+    try:
+        ix = SortedUrlIndex.build(url_arr)
+    except UrlIndexUnavailable as e:
+        raise FastPathUnavailable(f"url index unavailable: {e}") from e
+    pref, width = ray.put(ix.packed), ix.width
 
     # distinct external urls (tiny): per-batch unique → driver union.
-    # Stateful actor pool, NOT a plain fn: the url→position hash index is
-    # built ONCE per actor (__init__), where pc.index_in would rebuild an
-    # O(V) hash of the value set on EVERY batch — measured 28× superlinear
-    # build time at 6M pages (round-4 scale run).
+    # Lookup is searchsorted against the packed sorted-url matrix
+    # (urlindex.py) — zero per-task state, zero Python-object boxing.
+    # The per-actor pd.Index variant drove the kernel into THP
+    # compaction at 6M pages (469 s for a ~20 s stage), and pc.index_in
+    # re-hashes the O(V) value set per batch (28× superlinear).
     ext_parts = links.select_columns(["dst_url"]).map_batches(
-        _ExtUrlScan,
-        fn_constructor_args=(url_ref,),
+        _ext_url_scan(pref, width),
         batch_format="pyarrow",
         batch_size=262144,
-        concurrency=_lookup_concurrency(),
     ).materialize()
     # cardinality guard BEFORE anything reaches the driver: per-block
     # distinct counts upper-bound the global distinct count
@@ -580,24 +583,33 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
             "targets must use build_graph(use_fast=False) (hash-join id "
             "assignment)"
         )
-    ext_urls = sorted(
-        {u for t in ray.get(ext_refs) for u in t["url"].to_pylist()}
-    )
-    max_page_url = url_arr[len(url_arr) - 1].as_py() if n_pages else ""
-    if not all(u > max_page_url for u in ext_urls):
-        raise FastPathUnavailable(
-            "external urls must sort after page urls for trailing-id "
-            "assignment; use build_graph(use_fast=False) otherwise"
-        )
-    n_vertices = n_pages + len(ext_urls)
-    ext_ref = ray.put(ext_urls)
+    # Arrow-native driver merge: concat → unique → byte-order sort.
+    # No to_pylist — 2M boxed strings on the driver is the same
+    # allocation storm the workers just avoided.
+    ext_all = pa.concat_tables(
+        [t for t in ray.get(ext_refs) if t.num_rows]
+    )["url"].combine_chunks() if ext_upper else pa.array([], pa.string())
+    ext_arr = pc.unique(ext_all)
+    ext_arr = ext_arr.take(pc.sort_indices(ext_arr))
+    try:
+        ext_ix = SortedUrlIndex.build(ext_arr)
+    except UrlIndexUnavailable as e:
+        raise FastPathUnavailable(f"external url index: {e}") from e
+    if len(ext_arr) and n_pages:
+        max_page_url = url_arr[len(url_arr) - 1].as_py()
+        if ext_arr[0].as_py() <= max_page_url:
+            raise FastPathUnavailable(
+                "external urls must sort after page urls for trailing-id "
+                "assignment; use build_graph(use_fast=False) otherwise"
+            )
+    n_vertices = n_pages + len(ext_arr)
 
     edge_ids = links.map_batches(
-        _UrlIdMapper,
-        fn_constructor_args=(url_ref, ext_ref, n_pages),
+        _url_id_mapper(
+            pref, width, ray.put(ext_ix.packed), ext_ix.width, n_pages
+        ),
         batch_format="pyarrow",
         batch_size=262144,
-        concurrency=_lookup_concurrency(),
     )
     sorted_edges = (
         edge_ids.repartition(shuffle_blocks()).sort(["src", "dst"]).materialize()
@@ -631,7 +643,7 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
     ext_tbl = pa.Table.from_pydict(
         {
             "id": np.arange(n_pages, n_vertices, dtype=np.int64),
-            "url": pa.array(ext_urls, type=pa.string()),
+            "url": ext_arr,
         }
     )
     vertices = vertices_pages.union(rd.from_arrow(ext_tbl)).materialize()
