@@ -82,49 +82,98 @@ def _flat_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return np.diff(offs), data[offs[0] : offs[-1]] if len(arr) else data[:0]
 
 
+# Rows per packing chunk are sized so the int64 destination scratch
+# stays ~16 MB. Monolithic packing at crawl scale (6M urls) allocated
+# multi-GB np.repeat/cumsum temporaries whose FIRST-touch page faults
+# run ~1000× slower than warm pages under this kernel (measured:
+# np.repeat of 0.98 GB fresh = 190 s vs the same-size warm scatter =
+# 0.95 s); chunking + one reused scratch buffer pays the cold cost once
+# on ~16 MB instead of every call on gigabytes, and writes `out`
+# strictly sequentially.
+_PACK_SCRATCH_ELEMS = 2_000_000
+
+
 def pack_fixed_width(
     arr: pa.Array, width: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Arrow strings → (S<width> array, too_long row mask). Rows longer
     than `width` pack as empty (callers must treat them via the mask).
-    One fancy-index scatter — no Python-object round trip."""
+    Chunked segmented-cumsum scatter — no Python-object round trip, no
+    unbounded temporaries."""
     lengths, flat = _flat_view(arr)
     n = len(lengths)
     too_long = lengths > width
-    if too_long.any():
-        keep_len = np.where(too_long, 0, lengths)
-    else:
-        keep_len = lengths
-    out = np.zeros((n, width), dtype=np.uint8)
-    total = int(keep_len.sum())
-    if total:
-        if too_long.any():
-            starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-            src_pos = (
-                np.repeat(starts, keep_len)
-                + _intra_offsets(keep_len)
-            )
-            src = flat[src_pos]
+    any_long = bool(too_long.any())
+    keep_len = np.where(too_long, 0, lengths) if any_long else lengths
+    out = np.zeros(n * max(width, 1), dtype=np.uint8)
+    packed = out.view(f"S{max(width, 1)}")[:n]
+    if n == 0 or int(keep_len.max(initial=0)) == 0:
+        return packed, too_long
+    src_starts = np.empty(n + 1, dtype=np.int64)
+    src_starts[0] = 0
+    np.cumsum(lengths, out=src_starts[1:])
+    chunk_rows = max(4096, _PACK_SCRATCH_ELEMS // max(width, 1))
+    scratch = np.empty(
+        min(n, chunk_rows) * width, dtype=np.int64
+    )  # reused across chunks
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        kl = keep_len[lo:hi]
+        total = int(kl.sum())
+        if total == 0:
+            continue
+        dest = _dest_offsets_into(
+            kl, np.int64(lo) * width, width, scratch[:total]
+        )
+        if any_long:
+            src = flat[
+                _src_positions(kl, lengths[lo:hi], src_starts[lo:hi])
+            ]
         else:
-            src = flat
-        rows = np.repeat(np.arange(n, dtype=np.int64), keep_len)
-        cols = _intra_offsets(keep_len)
-        out[rows, cols] = src
-    return out.reshape(n * width).view(f"S{width}"), too_long
+            src = flat[src_starts[lo] : src_starts[lo] + total]
+        out[dest] = src
+    return packed, too_long
 
 
-def _intra_offsets(lengths: np.ndarray) -> np.ndarray:
-    """[0..l0), [0..l1), ... concatenated — per-row byte positions."""
-    total = int(lengths.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    ends = np.cumsum(lengths)
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    nz = lengths > 0
-    first_of_row = np.concatenate([[0], ends[:-1]])[nz]
-    out[first_of_row[1:]] = -(lengths[nz][:-1] - 1)
-    return np.cumsum(out)
+def _dest_offsets_into(
+    kl: np.ndarray, base: np.int64, width: int, scratch: np.ndarray
+) -> np.ndarray:
+    """Destination byte offsets for a chunk: row r's kept bytes land at
+    [base + r*width, …). One segmented cumsum into `scratch` (len ==
+    kl.sum()); consecutive positions within a row differ by 1, row
+    boundaries jump to the next row's slot."""
+    nz = np.flatnonzero(kl)
+    d = nz.astype(np.int64) * width + base  # dest start per nonzero row
+    ln = kl[nz].astype(np.int64)
+    scratch.fill(1)
+    first = np.empty(len(nz), dtype=np.int64)
+    first[0] = 0
+    np.cumsum(ln[:-1], out=first[1:])
+    scratch[first[0]] = d[0]
+    if len(nz) > 1:
+        scratch[first[1:]] = d[1:] - d[:-1] - ln[:-1] + 1
+    return np.cumsum(scratch, out=scratch)
+
+
+def _src_positions(
+    kl: np.ndarray, lengths: np.ndarray, starts: np.ndarray
+) -> np.ndarray:
+    """Source byte positions in `flat` for a chunk where some rows are
+    dropped (too long ⇒ kl == 0): gather of each kept row's
+    [starts, starts+kl) range. Same segmented-cumsum shape as
+    `_dest_offsets_into`; chunk-bounded."""
+    nz = np.flatnonzero(kl)
+    s = starts[nz]
+    ln = kl[nz].astype(np.int64)
+    total = int(ln.sum())
+    pos = np.ones(total, dtype=np.int64)
+    first = np.empty(len(nz), dtype=np.int64)
+    first[0] = 0
+    np.cumsum(ln[:-1], out=first[1:])
+    pos[first[0]] = s[0]
+    if len(nz) > 1:
+        pos[first[1:]] = s[1:] - s[:-1] - ln[:-1] + 1
+    return np.cumsum(pos, out=pos)
 
 
 @dataclass
@@ -138,7 +187,9 @@ class SortedUrlIndex:
     @classmethod
     def build(cls, urls: pa.Array | pa.ChunkedArray) -> "SortedUrlIndex":
         lengths, flat = _flat_view(urls)
-        if (flat == 0).any():
+        # min()==0 ⇔ a NUL byte exists; np.min scans without the
+        # flat-sized bool temporary (flat == 0) would allocate.
+        if flat.size and int(flat.min()) == 0:
             raise UrlIndexUnavailable("url contains NUL byte")
         width = int(lengths.max()) if len(lengths) else 1
         if width * len(lengths) > PACKED_MAX_BYTES:
