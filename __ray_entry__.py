@@ -661,9 +661,11 @@ def _q_eigenvector(sf_dir: str):
 def _q_betweenness(sf_dir: str):
     """Sampled Brandes betweenness: 32 deterministic seeds, unbiased
     V/k-scaled estimator, halved for undirected pairs — level-synchronized
-    masked SpMVs over the engine. Rows-only (per-seed BFS + level unrolls
-    are impractical in SQL); exact-vs-networkx conformance and the
-    seed-linearity that makes sampling unbiased are pytest-owned
+    masked SpMVs over the engine. SQL-oracled since round 4: per-seed
+    min-plus distances, σ ascending and δ descending unrolled level by
+    level in DuckDB CTEs (_betweenness_sql), floor-half-up rounding on
+    both sides; exact-vs-networkx conformance and the seed-linearity
+    that makes sampling unbiased remain pytest-owned
     (tests/test_structure.py::test_betweenness_*)."""
     from ppagerank_ray.algos.betweenness import betweenness_table
     from ppagerank_ray.engine.vertex_engine import VertexEngine
@@ -1214,8 +1216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """47 registered queries (round-4 consolidation from 67: same-keyed
     outputs merged into multi-column tables so the FULL registry fits the
     driver's 50-query correctness window — every operator now gets a
-    driver check every round). 42 are exact-SQL-oracled; the 5 rows-only
-    entries (pagerank_solvers, betweenness, neighborhood_function,
+    driver check every round). 43 are exact-SQL-oracled (betweenness
+    joined them in round 4 via a forward-σ/backward-δ level unroll); the
+    4 rows-only entries (pagerank_solvers, neighborhood_function,
     ann_methods, media_decoded) are convergence-driven or approximate by
     design, with conformance pytest-owned."""
     return {
@@ -1248,7 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runscript": _q_runscript,
         # convergence-driven / approximate (rows-only; pytest conformance)
         "pagerank_solvers": _q_pagerank_solvers,  # power/inout/arnoldi @tol
-        "betweenness": _q_betweenness,
+        "betweenness": _q_betweenness,  # ✓SQL since round 4 (σ/δ unroll)
         "neighborhood_function": _q_hyperanf,  # + effective_diameter_90
         # documents: dedup + text analysis
         "exact_dedup": _q_exact_dedup,
@@ -1757,6 +1760,98 @@ FROM hb{iters} GROUP BY id"""
     )
 
 
+def _betweenness_sql(iters: int, n_seeds: int) -> str:
+    """Sampled Brandes betweenness oracle (round 4): per-seed min-plus
+    distances (the harmonic unroll), then σ by ascending level and δ by
+    descending level — each level one grouped join over the symmetrized
+    edge table, mirroring algos/betweenness.py's masked SpMVs. σ/δ rows
+    are kept per level only (a vertex belongs to exactly one level per
+    seed), so level tables stay frontier-sized. Level-0 δ rows (each
+    seed's own dependency, which Brandes drops) are never generated —
+    the engine's ms_collapse_add exclusion. Per-term quotients
+    (1+δ(w))/σ(w) and the (x·scale)·1e6 floor-half-up multiply chain
+    reproduce the Ray side op-for-op (see betweenness_table's rounding
+    note); σ sums are integer-exact in DOUBLE."""
+    inf = 1 << 40
+    parts = [
+        _GRAPH_CTES,
+        f""", hstep AS (SELECT greatest(1, (SELECT v FROM nv) // {n_seeds})::BIGINT AS s),
+hseeds AS MATERIALIZED (
+  SELECT id AS seed FROM verts
+  WHERE id % (SELECT s FROM hstep) = 0
+  ORDER BY id LIMIT {n_seeds}
+), bw0 AS MATERIALIZED (
+  SELECT s.seed, v.id, CASE WHEN v.id = s.seed THEN 0 ELSE {inf} END::BIGINT AS d
+  FROM hseeds s CROSS JOIN verts v
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", bw{t} AS MATERIALIZED (
+  SELECT c.seed, c.id, least(c.d, coalesce(h.m + 1, c.d)) AS d
+  FROM bw{t-1} c
+  LEFT JOIN (
+    SELECT k.seed, u.dst AS id, min(k.d) AS m
+    FROM undb u JOIN bw{t-1} k ON u.src = k.id GROUP BY k.seed, u.dst
+  ) h ON c.seed = h.seed AND c.id = h.id
+)"""
+        )
+    parts.append(
+        f""", bd AS MATERIALIZED (
+  SELECT seed, id, d FROM bw{iters} WHERE d < {inf}
+), sg0 AS MATERIALIZED (
+  SELECT seed, seed AS id, 1.0::DOUBLE AS s FROM hseeds
+)"""
+    )
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", sg{t} AS MATERIALIZED (
+  SELECT k.seed, u.dst AS id, sum(k.s) AS s
+  FROM undb u JOIN sg{t-1} k ON u.src = k.id
+  JOIN bd b ON b.seed = k.seed AND b.id = u.dst AND b.d = {t}
+  GROUP BY k.seed, u.dst
+)"""
+        )
+    for t in range(iters - 1, 0, -1):
+        if t == iters - 1:
+            inner = f"""
+    SELECT w.seed, u.dst AS id, sum(1.0 / w.s) AS m
+    FROM undb u JOIN sg{t+1} w ON u.src = w.id
+    GROUP BY w.seed, u.dst"""
+        else:
+            inner = f"""
+    SELECT w.seed, u.dst AS id, sum((1.0 + coalesce(d.dl, 0.0)) / w.s) AS m
+    FROM undb u JOIN sg{t+1} w ON u.src = w.id
+    LEFT JOIN dl{t+1} d ON d.seed = w.seed AND d.id = w.id
+    GROUP BY w.seed, u.dst"""
+        parts.append(
+            f""", dl{t} AS MATERIALIZED (
+  SELECT s.seed, s.id, s.s * y.m AS dl
+  FROM sg{t} s
+  JOIN ({inner}
+  ) y ON y.seed = s.seed AND y.id = s.id
+)"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT id, dl FROM dl{t}" for t in range(1, iters)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT v.id,
+  floor(coalesce(acc.t, 0.0)
+        * (0.5 * ((SELECT v FROM nv)::DOUBLE
+                  / (SELECT count(*)::DOUBLE FROM hseeds)))
+        * 1000000.0 + 0.5) / 1000000.0 AS bc
+FROM verts v LEFT JOIN (
+  SELECT id, sum(dl) AS t FROM (
+    {union}
+  ) GROUP BY id
+) acc ON v.id = acc.id"""
+    )
+
+
 def _lp_sql(iters: int) -> str:
     parts = [_GRAPH_CTES, ", lp0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
     for t in range(1, iters + 1):
@@ -1976,6 +2071,7 @@ JOIN ({_clustering_sql()}) c ON k.id = c.id""",
 SELECT b.id, b.dist, h.harmonic
 FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b
 JOIN ({_harmonic_sql(BFS_ITERS, HARM_SEEDS)}) h ON b.id = h.id""",
+        "betweenness": _betweenness_sql(BFS_ITERS, HARM_SEEDS),
         "scc": f"""WITH RECURSIVE {_GRAPH_CTES},
 reach(a, b) AS (
   SELECT id, id FROM verts

@@ -96,7 +96,14 @@ def betweenness(
 
 def betweenness_table(engine: VertexEngine, seeds=None):
     """(id, bc) pyarrow table: textbook undirected betweenness (pairwise
-    dependencies halved); sampled seeds scale by V/|S| (unbiased)."""
+    dependencies halved); sampled seeds scale by V/|S| (unbiased).
+
+    Rounding is floor(x·1e6 + 0.5)/1e6 — the binary-domain half-up that
+    the harmonic oracle established — NOT np.round: dependency values
+    are frequently dyadic rationals (σ ratios of 1s and 2s) that land
+    exactly on decimal ties where numpy's half-even and DuckDB's round()
+    disagree; the floor form is the same IEEE multiply-add-floor on both
+    engines (mirrored in __ray_entry__._betweenness_sql)."""
     import pyarrow as pa
 
     info = betweenness(engine, seeds=seeds)
@@ -107,6 +114,6 @@ def betweenness_table(engine: VertexEngine, seeds=None):
     return pa.Table.from_pydict(
         {
             "id": np.arange(engine.V, dtype=np.int64),
-            "bc": np.round(x * scale, 6),
+            "bc": np.floor(x * scale * 1e6 + 0.5) / 1e6,
         }
     ), info
