@@ -107,10 +107,37 @@ class _VertexWorker:
         self.msi: dict[str, np.ndarray] = {}
         self.msv: dict[str, np.ndarray] = {}
         self.ms_k = 0
+        # persistent work buffers (round 4): the iteration hot path's
+        # large temporaries (x_full gather, contrib, reduce acc, x copy)
+        # exceed glibc's 32MB mmap-threshold cap at crawl scale, so
+        # fresh-allocating them re-mmaps and cold-faults hundreds of MB
+        # per actor PER ITERATION (measured ~1000× slower than warm
+        # pages on this kernel); named reuse pays the fault cost once
+        self._sbuf: dict[str, np.ndarray] = {}
+        self._rel_cache: dict[str, tuple[int, np.ndarray]] = {}
+
+    def _scratch(self, key: str, n: int, dtype=np.float64) -> np.ndarray:
+        buf = self._sbuf.get(key)
+        if buf is None or buf.dtype != dtype or len(buf) < n:
+            buf = np.empty(max(n, 1), dtype=dtype)
+            self._sbuf[key] = buf
+        return buf[:n]
+
+    def _rel(self, which: str, base: int) -> np.ndarray:
+        """src − base for the directed ('d') / undirected ('u') edge
+        block — base is fixed per worker after load, so this is computed
+        once, not per iteration (a fresh E_local-sized subtract)."""
+        ent = self._rel_cache.get(which)
+        if ent is None or ent[0] != base:
+            src = self.d_src if which == "d" else self.u_src
+            ent = (base, src - base)
+            self._rel_cache[which] = ent
+        return ent[1]
 
     # ---------- loading ----------
 
     def load_directed(self, slices) -> tuple[int, int, int]:
+        self._rel_cache.pop("d", None)
         t = _fetch_slices(slices)
         if t is None:
             self.d_src = np.empty(0, np.int64)
@@ -152,6 +179,7 @@ class _VertexWorker:
         return len(src), self.d_span[0], self.d_span[1]
 
     def load_undirected(self, slices) -> tuple[int, int, int]:
+        self._rel_cache.pop("u", None)
         t = _fetch_slices(slices)
         if t is None:
             self.u_src = np.empty(0, np.int64)
@@ -297,15 +325,27 @@ class _VertexWorker:
 
     # ---------- SpMV: y_partial[q] = sum over local edges of x[src]*w ----------
 
-    def _gather(self, parts: list, base_lo: int, span: tuple[int, int]) -> np.ndarray:
-        """Concatenate owner slices; refs resolved in one batched ray.get."""
+    def _gather(
+        self,
+        parts: list,
+        base_lo: int,
+        span: tuple[int, int],
+        key: str = "g",
+    ) -> np.ndarray:
+        """Concatenate owner slices into a persistent per-key buffer;
+        refs resolved in one batched ray.get."""
         ref_idx = [i for i, p in enumerate(parts) if isinstance(p, ray.ObjectRef)]
         if ref_idx:
             got = ray.get([parts[i] for i in ref_idx])
             parts = list(parts)
             for i, g in zip(ref_idx, got):
                 parts[i] = g
-        full = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        if len(parts) == 1:
+            return parts[0], base_lo
+        full = self._scratch(
+            "gather:" + key, sum(len(p) for p in parts), parts[0].dtype
+        )
+        np.concatenate(parts, out=full)
         return full, base_lo
 
     def spmv_partials(self, x_parts: list, base_lo: int):
@@ -315,7 +355,7 @@ class _VertexWorker:
         column — the object store is the VecScatter."""
         if len(self.d_src) == 0:
             return tuple([None] * self.P + [0.0])
-        x_full, base = self._gather(x_parts, base_lo, self.d_span)
+        x_full, base = self._gather(x_parts, base_lo, self.d_span, key="d")
         contrib = self._parallel_contrib(x_full, base)
 
         def one_q(q: int):
@@ -326,7 +366,8 @@ class _VertexWorker:
             sums = np.add.reduceat(contrib[a:b], starts)
             size_q = int(self.vb[q + 1] - self.vb[q])
             if len(uniq_local) * 2 >= size_q:
-                dense = np.zeros(size_q, dtype=np.float64)
+                dense = self._scratch(f"spmv_dense:{q}", size_q)
+                dense.fill(0.0)
                 dense[uniq_local] = sums
                 return dense
             return (uniq_local, sums)  # sparse: O(nnz) not O(V/P)
@@ -344,24 +385,33 @@ class _VertexWorker:
     def _parallel_contrib(self, x_full: np.ndarray, base: int) -> np.ndarray:
         """contrib = x[src]·w, chunked across the thread pool (numpy ufuncs
         release the GIL — intra-actor parallelism like the reference's
-        hybrid MPI+threads deployments)."""
+        hybrid MPI+threads deployments). Gather indices are precomputed
+        (`_rel`) and gather/multiply land in a persistent buffer —
+        zero fresh E_local-sized allocations per iteration."""
         n = len(self.d_src)
+        rel = self._rel("d", base)
+        contrib = self._scratch("contrib", n)
         if self.pool is None or n < 1 << 18:
-            return x_full[self.d_src - base] * self.d_w
-        contrib = np.empty(n, dtype=np.float64)
+            np.take(x_full, rel, out=contrib)
+            contrib *= self.d_w
+            return contrib
         chunks = np.linspace(0, n, self.n_threads + 1).astype(np.int64)
 
         def work(i):
             a, b = int(chunks[i]), int(chunks[i + 1])
-            np.multiply(x_full[self.d_src[a:b] - base], self.d_w[a:b], out=contrib[a:b])
+            np.take(x_full, rel[a:b], out=contrib[a:b])
+            np.multiply(contrib[a:b], self.d_w[a:b], out=contrib[a:b])
 
         list(self.pool.map(work, range(self.n_threads)))
         return contrib
 
     def reduce_partials(self, name: str, refs: list, scale: float = 1.0) -> float:
         """vec[name] = scale * Σ partials (fixed order ⇒ deterministic for a
-        given P). Returns the local sum (for ω / e'P'x scalars)."""
-        acc = np.zeros(self.size, dtype=np.float64)
+        given P). Returns the local sum (for ω / e'P'x scalars). The
+        accumulator is a persistent per-name buffer (every vec op either
+        mutates its own name in place or rebinds, so the alias is safe)."""
+        acc = self._scratch("reduce:" + name, self.size)
+        acc.fill(0.0)
         ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
         if ref_idx:
             got = ray.get([refs[i] for i in ref_idx])
@@ -395,13 +445,19 @@ class _VertexWorker:
         Returns (delta_local, new_x_slice) — callers use num_returns=2 so the
         x slice stays in the object store for the next gather."""
         y = self.vecs["y"]
+        tmp = self._scratch("power:tmp", self.size)
         if use_pvec:
-            y += omega * self.vecs["v"]
+            np.multiply(self.vecs["v"], omega, out=tmp)
+            y += tmp
         else:
             y += omega / n_vertices
-        delta = float(np.abs(y - self.vecs["x"]).sum())
-        self.vecs["x"] = y.copy()
-        return delta, self.vecs["x"]
+        np.subtract(y, self.vecs["x"], out=tmp)
+        np.abs(tmp, out=tmp)
+        delta = float(tmp.sum())
+        xb = self._scratch("power:x", self.size)
+        np.copyto(xb, y)
+        self.vecs["x"] = xb
+        return delta, xb
 
     # ---------- connected components (min-label propagation) ----------
 
@@ -409,8 +465,9 @@ class _VertexWorker:
         """Per destination partition: (uniq_local_dst, min incoming label)."""
         if len(self.u_src) == 0:
             return None if self.P == 1 else tuple([None] * self.P)
-        lab_full, base = self._gather(label_parts, base_lo, self.u_span)
-        vals = lab_full[self.u_src - base]
+        lab_full, base = self._gather(label_parts, base_lo, self.u_span, key="u")
+        vals = self._scratch("uvals", len(self.u_src), lab_full.dtype)
+        np.take(lab_full, self._rel("u", base), out=vals)
         out = []
         for q in range(self.P):
             a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
@@ -458,8 +515,9 @@ class _VertexWorker:
         Counts are summable across workers — a partial/combiner aggregate."""
         if len(self.u_src) == 0:
             return None if self.P == 1 else tuple([None] * self.P)
-        lab_full, base = self._gather(label_parts, base_lo, self.u_span)
-        vals = lab_full[self.u_src - base]
+        lab_full, base = self._gather(label_parts, base_lo, self.u_span, key="u")
+        vals = self._scratch("uvals", len(self.u_src), lab_full.dtype)
+        np.take(lab_full, self._rel("u", base), out=vals)
         out = []
         V = np.int64(n_vertices)
         for q in range(self.P):

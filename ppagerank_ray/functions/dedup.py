@@ -40,6 +40,11 @@ _SEED = 42
 MAX_BUCKET_PAIRS = 10_000_000
 _NGROUPS = 1024  # coarse shuffle groups for vectorized bucket processing
 BROADCAST_MAX_INVOLVED = 5_000_000  # candidate-id set broadcast threshold
+# above this payload size a broadcast-consuming map stage runs as an
+# actor pool (fetch once per actor in __init__) instead of a task
+# closure (re-fetch per block): at a few hundred candidate blocks ×
+# a 100MB+ store, per-task re-mapping dominates the stage
+BROADCAST_ACTOR_MIN_BYTES = 32 << 20
 
 
 def shingle_hashes(text: str) -> np.ndarray:
@@ -439,16 +444,41 @@ def verify_jaccard(
         return _empty_pairs()
     doc_cols = docs.select_columns(["doc_id", "text"])
     if n_inv <= BROADCAST_MAX_INVOLVED:
+        from ppagerank_ray.config import safe_concurrency
+
         ids_ref = ray.put(ids_arr)
 
-        def filt(t: pa.Table) -> pa.Table:
-            want = ray.get(ids_ref)
+        # broadcast-consumer stages flip from task closures to actor
+        # pools once the payload is big: each ACTOR resolves the
+        # broadcast once in __init__, while a per-task ray.get re-maps
+        # the payload for every block — at scale (many post-aggregate
+        # candidate blocks × a ~100MB shingle store) that turns the
+        # verify stage into page-fault churn instead of Jaccard compute.
+        # Below the gate the closure is cheaper (no actor startup).
+        def filt(t: pa.Table, want=None) -> pa.Table:
+            if want is None:
+                want = ray.get(ids_ref)
             ids = t["doc_id"].to_numpy()
             pos = np.clip(np.searchsorted(want, ids), 0, len(want) - 1)
             return t.filter(pa.array(want[pos] == ids))
 
+        if ids_arr.nbytes > BROADCAST_ACTOR_MIN_BYTES:
+            class _InvolvedFilter:
+                def __init__(self):
+                    self.want = ray.get(ids_ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    return filt(t, self.want)
+
+            filtered = doc_cols.map_batches(
+                _InvolvedFilter,
+                batch_format="pyarrow",
+                concurrency=safe_concurrency(8),
+            )
+        else:
+            filtered = doc_cols.map_batches(filt, batch_format="pyarrow")
         sh_parts = ray.get(
-            doc_cols.map_batches(filt, batch_format="pyarrow")
+            filtered
             .map_batches(_shingle_rows, batch_format="pyarrow")
             .to_arrow_refs()
         )
@@ -459,8 +489,10 @@ def verify_jaccard(
         sh_vals, sh_offs = _packed_from_binary(sh_tbl["sh"])
         sh_ref = ray.put((sh_tbl["doc_id"].to_numpy(), sh_vals, sh_offs))
 
-        def jac_broadcast(t: pa.Table) -> pa.Table:
-            ids_sorted, vals, offs = ray.get(sh_ref)
+        def jac_broadcast(t: pa.Table, store=None) -> pa.Table:
+            ids_sorted, vals, offs = (
+                store if store is not None else ray.get(sh_ref)
+            )
             ia = t["id_a"].to_numpy()
             ib = t["id_b"].to_numpy()
             va, oa = _gather_packed(vals, offs, np.searchsorted(ids_sorted, ia))
@@ -475,7 +507,23 @@ def verify_jaccard(
                 }
             )
 
-        out = cand.map_batches(jac_broadcast, batch_format="pyarrow").to_pandas()
+        if sh_vals.nbytes > BROADCAST_ACTOR_MIN_BYTES:
+            class _JacBroadcast:
+                def __init__(self):
+                    self.store = ray.get(sh_ref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    return jac_broadcast(t, self.store)
+
+            verified = cand.map_batches(
+                _JacBroadcast,
+                batch_format="pyarrow",
+                batch_size=65536,
+                concurrency=safe_concurrency(8),
+            )
+        else:
+            verified = cand.map_batches(jac_broadcast, batch_format="pyarrow")
+        out = verified.to_pandas()
         if len(out) == 0:
             return _empty_pairs()
         out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
