@@ -45,6 +45,9 @@ BROADCAST_MAX_INVOLVED = 5_000_000  # candidate-id set broadcast threshold
 # closure (re-fetch per block): at a few hundred candidate blocks ×
 # a 100MB+ store, per-task re-mapping dominates the stage
 BROADCAST_ACTOR_MIN_BYTES = 32 << 20
+# target gathered-element count per verify batch: bounds the tagged-sort
+# temporaries at ~4×8B×this ≈ 512MB regardless of per-doc shingle counts
+VERIFY_TARGET_ELEMS = 16 << 20
 
 
 def shingle_hashes(text: str) -> np.ndarray:
@@ -508,6 +511,15 @@ def verify_jaccard(
             )
 
         if sh_vals.nbytes > BROADCAST_ACTOR_MIN_BYTES:
+            # payload-aware batch size (round-4): the verify kernel's
+            # temporaries scale with Σ per-pair shingle payload, not pair
+            # count — a fixed 65536-pair batch over ~5k-shingle docs is a
+            # ~5GB tagged-sort temporary PER ACTOR. Bound each batch to
+            # ~VERIFY_TARGET_ELEMS gathered elements using the measured
+            # mean shingles/doc of the broadcast store.
+            mean_sh = max(1, sh_vals.size // max(1, len(sh_tbl)))
+            bs = int(min(65536, max(1024, VERIFY_TARGET_ELEMS // (2 * mean_sh))))
+
             class _JacBroadcast:
                 def __init__(self):
                     self.store = ray.get(sh_ref)
@@ -518,7 +530,7 @@ def verify_jaccard(
             verified = cand.map_batches(
                 _JacBroadcast,
                 batch_format="pyarrow",
-                batch_size=65536,
+                batch_size=bs,
                 concurrency=safe_concurrency(8),
             )
         else:

@@ -28,6 +28,22 @@ import pyarrow as pa
 sys.path.insert(0, "/root/repo")
 
 
+def _salt(s: str, uid: int) -> str:
+    """Splice a hashed (doc, position)-unique hex token every 8 chars:
+    shared 5-grams with the unsalted text drop to ~½ of the original
+    DISTINCT-gram set while each insertion adds grams unique to this doc
+    AND position — Jaccard vs base or vs any sibling replica < 0.1 even on
+    highly templated text. Two earlier attempts failed instructively: a
+    constant per-doc token adds too few DISTINCT grams (templated docs
+    have few distinct original grams, sibling J stayed ~0.7), and readable
+    `u{uid}p{i}` tokens share digit-tail grams between sibling uids (J
+    ~0.8); hashing decorrelates the token text."""
+    return "".join(
+        f"{s[i : i + 8]} {((uid * 1000003 + i) * 2654435761) % 4294967296:08x} "
+        for i in range(0, len(s), 8)
+    )
+
+
 def rss_gib() -> float:
     with open("/proc/self/status") as f:
         for line in f:
@@ -136,7 +152,20 @@ def main() -> None:
         emit(rec)
 
     if "minhash" in phases:
-        rec = {"phase": "minhash", "doc_copies": doc_copies}
+        # 10× corpus with a REALISTIC duplication structure: replica 0 is
+        # the base text; for doc_id % 5 == 0 replica 1 is a near-dup clone
+        # (tiny suffix, J≈1); every other replica gets a doc-unique salt
+        # token spliced every 8 chars, which destroys 5-gram similarity to
+        # the base AND to sibling replicas (shared surviving grams ≲0.25 of
+        # the union — well under τ=0.7). Expected true pairs = n_docs/5.
+        #
+        # SCALE_DUP_MODE=all keeps the old adversarial corpus (EVERY doc a
+        # member of a 10-clone group): verification is then inherently
+        # O(copies² · corpus · shingles/doc) ≈ 500GB of tagged-sort traffic
+        # — measured 25 min for 3/64 blocks before we killed it; that mode
+        # documents the quadratic wall, it is not a throughput benchmark.
+        dup_mode = os.environ.get("SCALE_DUP_MODE", "sparse")
+        rec = {"phase": "minhash", "doc_copies": doc_copies, "dup_mode": dup_mode}
         docs = rd.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
@@ -147,8 +176,21 @@ def main() -> None:
             base_ids = t["doc_id"].to_numpy()
             base_txt = t["text"].to_pylist()
             for k in range(doc_copies):
-                ids.append(base_ids + np.int64(k * n_docs * 10))
-                texts.extend(s + f" clonetoken{k}" for s in base_txt)
+                new_ids = base_ids + np.int64(k * n_docs * 10)
+                ids.append(new_ids)
+                if dup_mode == "all" or k == 0:
+                    texts.extend(s + f" clonetoken{k}" for s in base_txt)
+                elif k == 1:
+                    texts.extend(
+                        s + " clonetoken" if d % 5 == 0
+                        else _salt(s, int(nid))
+                        for s, d, nid in zip(base_txt, base_ids, new_ids)
+                    )
+                else:
+                    texts.extend(
+                        _salt(s, int(nid))
+                        for s, nid in zip(base_txt, new_ids)
+                    )
             return pa.Table.from_pydict(
                 {
                     "doc_id": np.concatenate(ids),
@@ -160,9 +202,17 @@ def main() -> None:
             clone, batch_format="pyarrow", batch_size=1024
         ).materialize()
         rec["docs"] = big_docs.count()
+        from ppagerank_ray.functions.dedup import (
+            lsh_candidate_pairs, verify_jaccard,
+        )
+
         t0 = time.time()
-        pairs = near_dup_pairs(big_docs, threshold=0.7)
-        rec["near_dup_sec"] = round(time.time() - t0, 1)
+        cand = lsh_candidate_pairs(big_docs).materialize()
+        rec["candidates"] = cand.count()
+        rec["lsh_candidates_sec"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        pairs = verify_jaccard(big_docs, cand, threshold=0.7)
+        rec["verify_sec"] = round(time.time() - t0, 1)
         rec["pairs"] = pairs.num_rows
         emit(rec)
 
