@@ -151,6 +151,36 @@ def main() -> None:
         eng.shutdown()
         emit(rec)
 
+    if "signatures" in phases:
+        # 10× the bench's minhash_text phase: band signatures over
+        # replicate//2 × the synthetic page corpus (bench: 300k texts at
+        # replicate=120 — pass replicate=12000 for 3M)
+        from ppagerank_ray.functions.dedup import minhash_bands_batch
+
+        rec = {"phase": "signatures", "replicate": replicate}
+        docs_rep = (
+            synth_pages(sf_dir, replicate=max(1, replicate // 2))
+            .select_columns(["text"])
+            .map_batches(
+                lambda t: pa.Table.from_pydict(
+                    {
+                        "doc_id": np.arange(t.num_rows, dtype=np.int64),
+                        "text": t["text"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        rec["docs"] = docs_rep.count()
+        t0 = time.time()
+        docs_rep.map_batches(
+            minhash_bands_batch, batch_format="pyarrow", batch_size=2048
+        ).count()
+        rec["signatures_sec"] = round(time.time() - t0, 1)
+        rec["docs_per_sec"] = round(rec["docs"] / rec["signatures_sec"])
+        emit(rec)
+
     if "minhash" in phases:
         # 10× corpus with a REALISTIC duplication structure: replica 0 is
         # the base text; for doc_id % 5 == 0 replica 1 is a near-dup clone
