@@ -341,16 +341,45 @@ def _q_katz(sf_dir: str):
     )
 
 
+SALSA_ITERS = 12
+
+
+def _q_salsa(sf_dir: str):
+    """SALSA authority/hub (Lempel & Moran 2000), fixed iterations over
+    the row-stochastic forward + reverse engines (SQL-unrollable because
+    both half-steps are mass-preserving — no normalization)."""
+    from ppagerank_ray.algos.hits import build_salsa_engines, salsa
+
+    gt = _graph(sf_dir)
+    fwd, rev = build_salsa_engines(gt.edges, gt.n_vertices, num_partitions=4)
+    salsa(fwd, rev, iters=SALSA_ITERS)
+    a = fwd.to_array("a")
+    h = rev.to_array("h")
+    fwd.shutdown()
+    rev.shutdown()
+    return pa.Table.from_pydict(
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "salsa_authority": _round6(a),
+            "salsa_hub": _round6(h),
+        }
+    )
+
+
 def _q_spectral(sf_dir: str):
-    """HITS authority/hub + Katz + eigenvector centrality in one
-    per-vertex table (round-4 registry consolidation — all four are
+    """HITS authority/hub + Katz + eigenvector + SALSA authority/hub in
+    one per-vertex table (round-4 registry consolidation — all are
     fixed-iteration spectral scores over the same adjacency; each still
     runs its own engine pipeline)."""
     h = _q_hits(sf_dir)
     k = _q_katz(sf_dir)
     e = _q_eigenvector(sf_dir)
-    return h.append_column("katz", k["katz"]).append_column(
-        "eigenvector", e["score"]
+    s = _q_salsa(sf_dir)
+    return (
+        h.append_column("katz", k["katz"])
+        .append_column("eigenvector", e["score"])
+        .append_column("salsa_authority", s["salsa_authority"])
+        .append_column("salsa_hub", s["salsa_hub"])
     )
 
 
@@ -1234,7 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,  # + score_pvec (old `pagerank_pvec`)
         "pagerank_trans": _q_pagerank_trans,
         "pagerank_top20": _q_pagerank_top20,
-        "spectral_centrality": _q_spectral,  # hits + katz + eigenvector
+        "spectral_centrality": _q_spectral,  # hits + katz + eigenvector + salsa
         "connected_components": _q_components,  # + component_size
         "scc": _q_scc,
         "label_propagation": _q_label_propagation,
@@ -1593,6 +1622,42 @@ def _hits_sql(iters: int) -> str:
         + f"""
 SELECT a.id, round(a.a, 6) AS authority, round(h.h, 6) AS hub
 FROM a{iters} a JOIN h{iters} h ON a.id = h.id"""
+    )
+
+
+def _salsa_sql(iters: int) -> str:
+    """Fixed-iteration SALSA unroll (Lempel & Moran 2000): a0 uniform
+    over authorities (indeg > 0); per iteration
+    h_t(u) = Σ_{(u,v)∈E} a_{t-1}(v)/indeg(v) then
+    a_t(w) = Σ_{(u,w)∈E} h_t(u)/outdeg(u). Both half-steps are
+    mass-preserving, so there are no normalization CTEs."""
+    parts = [
+        _GRAPH_CTES,
+        """, ideg AS MATERIALIZED (
+  SELECT dst AS id, count(*)::BIGINT AS indeg FROM edges GROUP BY dst
+), sa0 AS MATERIALIZED (
+  SELECT id, 1.0/(SELECT count(*) FROM ideg) AS a FROM ideg)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", sh{t} AS MATERIALIZED (
+  SELECT e.src AS id, sum(a.a / i.indeg) AS h
+  FROM edges e JOIN sa{t-1} a ON e.dst = a.id JOIN ideg i ON e.dst = i.id
+  GROUP BY e.src
+), sa{t} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.h / d.outdeg) AS a
+  FROM edges e JOIN sh{t} h ON e.src = h.id JOIN deg d ON e.src = d.id
+  GROUP BY e.dst
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+SELECT v.id, round(coalesce(a.a, 0), 6) AS salsa_authority,
+       round(coalesce(h.h, 0), 6) AS salsa_hub
+FROM verts v LEFT JOIN sa{iters} a ON v.id = a.id
+LEFT JOIN sh{iters} h ON v.id = h.id"""
     )
 
 
@@ -2052,10 +2117,12 @@ JOIN ({_pagerank_sql(PR_PVEC_ITERS, pvec=True)}) p ON b.id = p.id""",
 FROM pr{PR_ITERS} ORDER BY round(x, 6) DESC, id ASC LIMIT 20""",
         ),
         "spectral_centrality": f"""
-SELECT h.id, h.authority, h.hub, k.katz, e.score AS eigenvector
+SELECT h.id, h.authority, h.hub, k.katz, e.score AS eigenvector,
+       s.salsa_authority, s.salsa_hub
 FROM ({_hits_sql(HITS_ITERS)}) h
 JOIN ({_katz_sql(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA)}) k ON h.id = k.id
-JOIN ({_eig_sql(EIG_ITERS)}) e ON h.id = e.id""",
+JOIN ({_eig_sql(EIG_ITERS)}) e ON h.id = e.id
+JOIN ({_salsa_sql(SALSA_ITERS)}) s ON h.id = s.id""",
         "connected_components": _cc_sql(CC_ITERS).replace(
             f"SELECT id, lab AS component FROM cc{CC_ITERS}",
             f"""SELECT id, lab AS component,

@@ -114,6 +114,79 @@ def numpy_hits_oracle(
     return a, h
 
 
+def build_salsa_engines(
+    edges: rd.Dataset, n_vertices: int, num_partitions: int = 0,
+    n_threads: int = 1,
+) -> tuple[VertexEngine, VertexEngine]:
+    """(forward, reverse) engines for SALSA, IDENTICAL vbounds, each
+    loaded ROW-STOCHASTIC in its own orientation: fwd holds
+    (src, dst, 1/outdeg(src)) — its SpMV is the hub→authority half-step —
+    and rev holds the reversed edges (dst, src, 1/indeg(dst)) — the
+    authority→hub half-step (row sums of the reversed graph ARE in-degrees
+    of the original)."""
+    from ppagerank_ray.graph.build import attach_weights
+
+    fwd = VertexEngine(n_vertices, num_partitions, n_threads=n_threads)
+    rev = VertexEngine(n_vertices, fwd.P, n_threads=n_threads)
+    base = edges.select_columns(["src", "dst"]).materialize()
+    fwd.load_directed(attach_weights(base, n_vertices))
+    rev.load_directed(attach_weights(_reverse_edges(base), n_vertices))
+    return fwd, rev
+
+
+def salsa(fwd: VertexEngine, rev: VertexEngine, iters: int = 12) -> dict:
+    """SALSA (Lempel & Moran 2000, public definition): the authority
+    random walk takes one step BACK along an in-link chosen uniformly
+    (1/indeg) then one step FORWARD along an out-link chosen uniformly
+    (1/outdeg); hubs are the intermediate state. Both half-steps are
+    mass-preserving row-stochastic SpMVs, so no per-iteration
+    normalization is needed (Σa stays 1 up to float error) and a fixed
+    `iters` unrolls exactly in SQL. a0 is uniform over authorities
+    (vertices with indeg > 0), detected distributedly: the forward
+    row-stochastic SpMV of the ones vector lands mass exactly on indeg>0
+    vertices. Leaves `a` in fwd.vecs, `h` in rev.vecs."""
+    assert fwd.V == rev.V and fwd.P == rev.P, "engines must share partitioning"
+    fwd.set_vector_uniform("ones", 1.0)
+    fwd.spmv(fwd.slice_refs("ones"), out="s")
+    n_a = float(
+        np.sum(
+            ray.get([w.vec_indicator_pos.remote("a", "s") for w in fwd.workers])
+        )
+    )
+    if n_a > 0:
+        ray.get([w.vec_scale.remote("a", 1.0 / n_a) for w in fwd.workers])
+    rev.set_vector_uniform("h", 0.0)
+    for _ in range(iters):
+        # h(u) = Σ_{(u,v)∈E} a(v)/indeg(v): reverse engine consumes the
+        # forward engine's a slices (same vbounds ⇒ refs line up)
+        rev.spmv(fwd.slice_refs("a"), out="h")
+        # a(w) = Σ_{(u,w)∈E} h(u)/outdeg(u)
+        fwd.spmv(rev.slice_refs("h"), out="a")
+    return {
+        "algorithm": "salsa",
+        "iteration": iters,
+        "n_authorities": int(n_a),
+    }
+
+
+def numpy_salsa_oracle(
+    src: np.ndarray, dst: np.ndarray, n: int, iters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Transliterated fixed-iteration oracle (same update order)."""
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    indeg = np.bincount(dst, minlength=n).astype(np.float64)
+    wf = np.where(outdeg > 0, 1.0 / np.where(outdeg == 0, 1.0, outdeg), 0.0)
+    wr = np.where(indeg > 0, 1.0 / np.where(indeg == 0, 1.0, indeg), 0.0)
+    a = (indeg > 0).astype(np.float64)
+    if a.sum() > 0:
+        a /= a.sum()
+    h = np.zeros(n)
+    for _ in range(iters):
+        h = np.bincount(src, weights=a[dst] * wr[dst], minlength=n)
+        a = np.bincount(dst, weights=h[src] * wf[src], minlength=n)
+    return a, h
+
+
 def eigenvector_centrality(engine: VertexEngine, iters: int = 25) -> np.ndarray:
     """Right-eigenvector centrality of A^T (the authority half of HITS
     without the hub alternation): x_t = normalize2(A^T x_{t-1}), x_0

@@ -265,6 +265,14 @@ class _VertexWorker:
     def vec_diff_norm1(self, a: str, b: str) -> float:
         return float(np.abs(self.vecs[a] - self.vecs[b]).sum())
 
+    def vec_indicator_pos(self, out: str, x: str) -> float:
+        """out = 1.0 where x > 0 else 0.0; returns the local count — the
+        distributed VecIndicator analogue (SURVEY M2) for support-restricted
+        inits (e.g. SALSA's uniform-over-authorities a0)."""
+        v = (self.vecs[x] > 0).astype(np.float64)
+        self.vecs[out] = v
+        return float(v.sum())
+
     def get_slice(self, name: str) -> np.ndarray:
         return self.vecs[name]
 

@@ -143,6 +143,43 @@ def test_hits_matches_numpy_oracle(sf_tiny):
         np.testing.assert_allclose(h, h_ref, atol=1e-12)
 
 
+def test_salsa_matches_numpy_oracle(sf_tiny):
+    from ppagerank_ray.algos.hits import (
+        build_salsa_engines, numpy_salsa_oracle, salsa,
+    )
+
+    gt = build_graph(synth_pages(sf_tiny))
+    t = gt.edges.to_pandas()
+    src, dst = t["src"].to_numpy(), t["dst"].to_numpy()
+    for iters in (1, 6):
+        fwd, rev = build_salsa_engines(gt.edges, gt.n_vertices, num_partitions=3)
+        salsa(fwd, rev, iters=iters)
+        a, h = fwd.to_array("a"), rev.to_array("h")
+        fwd.shutdown(); rev.shutdown()
+        a_ref, h_ref = numpy_salsa_oracle(src, dst, gt.n_vertices, iters)
+        np.testing.assert_allclose(a, a_ref, atol=1e-12)
+        np.testing.assert_allclose(h, h_ref, atol=1e-12)
+        # both half-steps are stochastic: authority mass is conserved
+        assert abs(a.sum() - 1.0) < 1e-9
+
+
+def test_salsa_star_authorities():
+    from ppagerank_ray.algos.hits import build_salsa_engines, salsa
+
+    # star: 0 -> {1..4} plus 3 -> 0: leaves are pure authorities
+    src = np.array([0, 0, 0, 0, 3])
+    dst = np.array([1, 2, 3, 4, 0])
+    fwd, rev = build_salsa_engines(_edges_ds(src, dst), 5, num_partitions=2)
+    salsa(fwd, rev, iters=30)
+    a, h = fwd.to_array("a"), rev.to_array("h")
+    fwd.shutdown(); rev.shutdown()
+    # SALSA stationary authority weight is proportional to in-degree
+    # within each component of the authority graph
+    assert np.argmax(h) == 0
+    assert a[1] > 0 and abs(a[1] - a[2]) < 1e-9
+    assert abs(a.sum() - 1.0) < 1e-9
+
+
 def test_hits_converges():
     from ppagerank_ray.algos.hits import build_hits_engines, hits
 
