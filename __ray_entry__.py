@@ -547,8 +547,12 @@ def _q_bfs_harmonic(sf_dir: str):
     dist = eng.to_array("dist", integer=True)
     dist = np.where(dist >= info["sentinel"], np.int64(-1), dist)
     seeds = _harmonic_seeds(gt.n_vertices)
-    hinfo = harmonic_centrality(eng, seeds=seeds, lcm_num=HARM_LCM)
+    hinfo = harmonic_centrality(
+        eng, seeds=seeds, lcm_num=HARM_LCM, closeness_out="clo"
+    )
     num = eng.to_array("harm_num", integer=True)
+    csum = eng.to_array("clo_sum", integer=True)
+    ccnt = eng.to_array("clo_cnt", integer=True)
     eng.shutdown()
     # exact integer numerator → ONE deterministic float multiply + the
     # binary-domain half-up, mirrored op-for-op in _harmonic_sql (a float
@@ -556,11 +560,17 @@ def _q_bfs_harmonic(sf_dir: str):
     # exact decimal ties, so np.round vs SQL round() would flip)
     s = gt.n_vertices / hinfo["n_seeds"] / HARM_LCM
     harm6 = np.floor(num.astype(np.float64) * s * 1e6 + 0.5) / 1e6
+    # sampled closeness = reached-seed count / Σ dist (reciprocal mean
+    # distance to reached seeds): ONE IEEE division of two exact integer
+    # accumulators, then the same binary-domain half-up on both sides
+    ratio = ccnt.astype(np.float64) / np.where(csum > 0, csum, 1)
+    clo6 = np.where(csum > 0, np.floor(ratio * 1e6 + 0.5) / 1e6, 0.0)
     return pa.Table.from_pydict(
         {
             "id": np.arange(gt.n_vertices, dtype=np.int64),
             "dist": dist,
             "harmonic": harm6,
+            "closeness": clo6,
         }
     )
 
@@ -1820,7 +1830,12 @@ hseeds AS MATERIALIZED (
         + f"""
 SELECT id, floor(sum(CASE WHEN d > 0 AND d < {inf} THEN {HARM_LCM} // d ELSE 0 END)::DOUBLE
                  * ((SELECT v FROM nv)::DOUBLE / (SELECT count(*) FROM hseeds) / {HARM_LCM})
-                 * 1000000.0 + 0.5) / 1000000.0 AS harmonic
+                 * 1000000.0 + 0.5) / 1000000.0 AS harmonic,
+       CASE WHEN sum(CASE WHEN d > 0 AND d < {inf} THEN d ELSE 0 END) > 0
+            THEN floor(sum(CASE WHEN d > 0 AND d < {inf} THEN 1 ELSE 0 END)::DOUBLE
+                       / sum(CASE WHEN d > 0 AND d < {inf} THEN d ELSE 0 END)
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS closeness
 FROM hb{iters} GROUP BY id"""
     )
 
@@ -2135,7 +2150,7 @@ SELECT k.id, k.core, c.n_tri, c.clustering
 FROM ({_kcore_sql(KC_ITERS)}) k
 JOIN ({_clustering_sql()}) c ON k.id = c.id""",
         "bfs_harmonic": f"""
-SELECT b.id, b.dist, h.harmonic
+SELECT b.id, b.dist, h.harmonic, h.closeness
 FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b
 JOIN ({_harmonic_sql(BFS_ITERS, HARM_SEEDS)}) h ON b.id = h.id""",
         "betweenness": _betweenness_sql(BFS_ITERS, HARM_SEEDS),

@@ -125,7 +125,8 @@ def wedge_count(engine: VertexEngine) -> int:
 
 
 def harmonic_centrality(
-    engine: VertexEngine, seeds=None, out: str = "harm", lcm_num: int = 0
+    engine: VertexEngine, seeds=None, out: str = "harm", lcm_num: int = 0,
+    closeness_out: str | None = None,
 ):
     """Harmonic centrality H(v) = Σ_{u≠v} 1/d(u, v) over the loaded
     undirected graph — one BFS fixpoint per seed, then a fused
@@ -133,7 +134,13 @@ def harmonic_centrality(
     self distances contribute 0. seeds=None sweeps every vertex (exact,
     matches networkx.harmonic_centrality); a sample is the standard
     unbiased estimator scaled by V/|S| (linear in seeds like
-    betweenness)."""
+    betweenness).
+
+    closeness_out: also accumulate the sampled-closeness integer state
+    from the SAME distance waves at zero extra BFS cost — ivecs
+    `{closeness_out}_sum` (Σ finite positive dist) and
+    `{closeness_out}_cnt` (count of reached seeds); closeness(v) is then
+    cnt/sum (reciprocal mean distance to reached seeds)."""
     W = engine.workers
     V = engine.V
     if seeds is None:
@@ -151,6 +158,15 @@ def harmonic_centrality(
             ray.get(
                 [
                     w.ms_harmonic_accum_num.remote(out + "_num", V, lcm_num)
+                    for w in W
+                ]
+            )
+        if closeness_out:
+            ray.get(
+                [
+                    w.ms_closeness_accum.remote(
+                        closeness_out + "_sum", closeness_out + "_cnt", V
+                    )
                     for w in W
                 ]
             )

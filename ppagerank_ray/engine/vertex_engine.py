@@ -881,6 +881,20 @@ class _VertexWorker:
             out, np.zeros(self.size, np.int64)
         ) + num.sum(axis=0)
 
+    def ms_closeness_accum(self, sum_out: str, cnt_out: str, sentinel: int):
+        """ivecs[sum_out] += Σ_j dist_j and ivecs[cnt_out] += Σ_j 1 over
+        seeds with 0 < dist < sentinel — exact integer accumulators for
+        sampled closeness (integer sums are associative ⇒ wave- and
+        order-invariant, reproducible bit-exactly by a SQL SUM; the float
+        k/Σd estimate is then ONE deterministic IEEE division)."""
+        d = self.msi["dist"]
+        m = (d > 0) & (d < sentinel)
+        s = np.where(m, d, 0).sum(axis=0, dtype=np.int64)
+        c = m.sum(axis=0, dtype=np.int64)
+        z = lambda: np.zeros(self.size, np.int64)
+        self.ivecs[sum_out] = self.ivecs.get(sum_out, z()) + s
+        self.ivecs[cnt_out] = self.ivecs.get(cnt_out, z()) + c
+
     # ---------- degree assortativity (edge-moment partials) ----------
 
     def degree_moment_partials(self, deg_parts: list, base_lo: int):

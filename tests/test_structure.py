@@ -250,3 +250,33 @@ def test_harmonic_centrality_matches_networkx():
     exp_map = nx.harmonic_centrality(_nx_graph(src, dst, n))
     exp = np.array([exp_map[i] for i in range(n)])
     np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+def test_closeness_accumulators_match_bfs():
+    """Full-seed closeness integer accumulators == per-pair BFS truth:
+    clo_sum(v) = Σ_u d(u,v) over reachable u≠v, clo_cnt(v) = #reachable,
+    and cnt/sum is networkx incremental closeness (reciprocal mean
+    distance, here unnormalized by component size)."""
+    from ppagerank_ray.algos.structure import harmonic_centrality
+
+    rng = np.random.default_rng(47)
+    n = 32
+    src = rng.integers(0, n, 100)
+    dst = rng.integers(0, n, 100)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    eng = _engine(src, dst, n, 2)
+    harmonic_centrality(eng, closeness_out="clo")
+    csum = eng.to_array("clo_sum", integer=True)
+    ccnt = eng.to_array("clo_cnt", integer=True)
+    eng.shutdown()
+    g = _nx_graph(src, dst, n)
+    exp_sum = np.zeros(n, np.int64)
+    exp_cnt = np.zeros(n, np.int64)
+    for u in range(n):
+        for v, d in nx.single_source_shortest_path_length(g, u).items():
+            if d > 0:
+                exp_sum[v] += d
+                exp_cnt[v] += 1
+    np.testing.assert_array_equal(csum, exp_sum)
+    np.testing.assert_array_equal(ccnt, exp_cnt)
