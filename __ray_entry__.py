@@ -885,6 +885,33 @@ def _q_doc_hashes(sf_dir: str):
     return f.append_column("simhash", s["simhash"])
 
 
+CONTAM_N = 5  # word-n-gram size for decontamination
+CONTAM_BENCH_MOD = 97  # doc_id % MOD == 0 ⇒ doc belongs to the benchmark
+
+
+def _q_contamination(sf_dir: str):
+    """n-gram decontamination: flag documents whose word-5-gram sets
+    overlap the benchmark corpus (the deterministic doc_id % 97 == 0
+    sample stands in for an eval set) at ≥ 1/2 — the public LLM-pipeline
+    decontamination primitive (GPT-3 appendix / Pile-style n-gram
+    filtering). Benchmark docs themselves score overlap 1.0, the
+    realistic leak signal. Integer threshold comparison on both sides."""
+    from ppagerank_ray.functions.textstats import ngram_contamination
+
+    docs = _docs(sf_dir)
+
+    def bfilt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % CONTAM_BENCH_MOD == 0)).select(
+            ["text"]
+        )
+
+    bench = docs.map_batches(bfilt, batch_format="pyarrow")
+    out = ngram_contamination(docs, bench, n=CONTAM_N, thr_num=1, thr_den=2)
+    t = pa.concat_tables(list(_ds_tables(out))).combine_chunks()
+    return t.sort_by("doc_id")
+
+
 def _ds_tables(res):
     """Dataset | pa.Table → iterable of pyarrow Tables (query-harness
     collection helper; results here are per-doc aggregate outputs)."""
@@ -1252,14 +1279,17 @@ def _q_user_sessions(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """47 registered queries (round-4 consolidation from 67: same-keyed
+    """48 registered queries (round-4 consolidation from 67: same-keyed
     outputs merged into multi-column tables so the FULL registry fits the
     driver's 50-query correctness window — every operator now gets a
-    driver check every round). 43 are exact-SQL-oracled (betweenness
-    joined them in round 4 via a forward-σ/backward-δ level unroll); the
-    4 rows-only entries (pagerank_solvers, neighborhood_function,
-    ann_methods, media_decoded) are convergence-driven or approximate by
-    design, with conformance pytest-owned."""
+    driver check every round). 44 are exact-SQL-oracled (betweenness
+    joined them in round 4 via a forward-σ/backward-δ level unroll;
+    `contamination` is the round-4 n-gram decontamination op; SALSA and
+    sampled closeness ride the spectral_centrality / bfs_harmonic
+    oracles as extra columns); the 4 rows-only entries (pagerank_solvers,
+    neighborhood_function, ann_methods, media_decoded) are
+    convergence-driven or approximate by design, with conformance
+    pytest-owned."""
     return {
         # pages / extraction
         "pages_meta": _q_pages_meta,
@@ -1297,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,  # quality(+token_counts) + lang_id
         "doc_hashes": _q_doc_hashes,  # fingerprint + simhash
         "vocabulary": _q_vocabulary,  # top_terms(tf) + term_doc_freq(df)
+        "contamination": _q_contamination,  # n-gram decontamination (r4)
         "tfidf": _q_tfidf,
         "top_bigrams": _q_top_bigrams,
         "near_dup_jaccard": _q_near_dup_jaccard,
@@ -2250,6 +2281,34 @@ tf AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY term),
 d AS (SELECT DISTINCT doc_id, term FROM toks),
 df AS (SELECT term, count(*)::BIGINT AS df FROM d GROUP BY term)
 SELECT tf.term, tf.n, df.df FROM tf JOIN df ON tf.term = df.term""",
+        "contamination": f"""
+WITH tokd AS (
+  SELECT doc_id, {_TOKENS} AS tk FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - {CONTAM_N - 1}),
+                                 i -> array_to_string(tk[i:i+{CONTAM_N - 1}], ' '))) AS gram
+    FROM tokd WHERE len(tk) >= {CONTAM_N}
+  )
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), agg AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_ngrams,
+         count(b.gram)::BIGINT AS n_matched
+  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(a.n_matched, 0)::BIGINT AS n_matched,
+       CASE WHEN coalesce(a.n_ngrams, 0) > 0
+            THEN floor(a.n_matched::DOUBLE / a.n_ngrams * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS overlap,
+       (CASE WHEN coalesce(a.n_ngrams, 0) > 0
+                  AND coalesce(a.n_matched, 0) * 2 >= a.n_ngrams
+             THEN 1 ELSE 0 END)::BIGINT AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "top_bigrams": f"""
 WITH toks AS (
   SELECT doc_id,

@@ -16,6 +16,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray as _ray
 import ray.data as rd
 
 # Fixed stopword profiles; scoring order is the tie-break order (first max
@@ -322,3 +323,117 @@ def top_bigrams(docs: rd.Dataset, k: int = 100) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return counts.sort(["_neg", "bigram"]).limit(k).drop_columns(["_neg"])
+
+
+# ---------------------------------------------------------------------------
+# n-gram decontamination (benchmark-overlap flagging)
+# ---------------------------------------------------------------------------
+
+# an eval/benchmark corpus is small by definition; its DISTINCT n-gram set
+# is broadcast once. Beyond this the right tool is an exploded-gram hash
+# join — refuse loudly rather than build an unbounded driver set.
+BENCH_NGRAMS_MAX = 5_000_000
+# broadcast-consumer stages flip to an actor pool above this set size
+# (fetch-once-per-actor vs re-deserialize-per-block; python sets are not
+# zero-copy, so the per-task cost is real at scale)
+BENCH_NGRAMS_ACTOR_MIN = 200_000
+
+
+def _word_ngrams(toks: list[str], n: int) -> set:
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_contamination(
+    docs: rd.Dataset,
+    benchmark: rd.Dataset,
+    n: int = 5,
+    thr_num: int = 1,
+    thr_den: int = 2,
+) -> rd.Dataset:
+    """Flag training docs whose word-n-gram sets leak into an eval
+    corpus — the decontamination primitive of public LLM data pipelines
+    (n-gram overlap filtering as described in the GPT-3 / Pile papers).
+
+    The benchmark's distinct n-gram set is collected with per-block Ray
+    tasks, union-merged on the driver (gated at BENCH_NGRAMS_MAX — the
+    answer-sized quantity), broadcast once via ray.put, and every doc is
+    scored with one bounded set intersection — streaming, no shuffle.
+    The contaminated flag compares INTEGERS (n_matched·thr_den ≥
+    thr_num·n_ngrams), so the threshold decision is exact on both the
+    Ray and SQL sides; `overlap` is one IEEE division + the repo's
+    binary-domain half-up rounding.
+
+    Returns (doc_id, n_ngrams, n_matched, overlap, contaminated)."""
+    import ray
+
+    from ppagerank_ray.config import safe_concurrency
+
+    bench_parts = ray.get(
+        [
+            _bench_gram_set.remote(r, n)
+            for r in benchmark.select_columns(["text"]).to_arrow_refs()
+        ]
+    )
+    bench: set = set().union(*bench_parts) if bench_parts else set()
+    if len(bench) > BENCH_NGRAMS_MAX:
+        raise ValueError(
+            f"benchmark n-gram set ({len(bench)}) exceeds BENCH_NGRAMS_MAX "
+            f"({BENCH_NGRAMS_MAX}); decontamination against a corpus-sized "
+            "'benchmark' needs an exploded-gram hash join, not a broadcast"
+        )
+    bref = ray.put(bench)
+
+    def score(t: pa.Table, bset=None) -> pa.Table:
+        if bset is None:
+            bset = ray.get(bref)
+        texts = t["text"].to_pylist()
+        n_ngrams = np.zeros(len(texts), np.int64)
+        n_matched = np.zeros(len(texts), np.int64)
+        for i, x in enumerate(texts):
+            grams = _word_ngrams(_tokens(x), n)
+            n_ngrams[i] = len(grams)
+            if grams:
+                n_matched[i] = sum(1 for g in grams if g in bset)
+        ratio = n_matched.astype(np.float64) / np.where(n_ngrams > 0, n_ngrams, 1)
+        overlap = np.where(
+            n_ngrams > 0, np.floor(ratio * 1e6 + 0.5) / 1e6, 0.0
+        )
+        contaminated = (
+            (n_ngrams > 0) & (n_matched * thr_den >= thr_num * n_ngrams)
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_ngrams": n_ngrams,
+                "n_matched": n_matched,
+                "overlap": overlap,
+                "contaminated": contaminated,
+            }
+        )
+
+    cols = docs.select_columns(["doc_id", "text"])
+    if len(bench) > BENCH_NGRAMS_ACTOR_MIN:
+        class _Contam:
+            def __init__(self):
+                self.bset = ray.get(bref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return score(t, self.bset)
+
+        return cols.map_batches(
+            _Contam,
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=safe_concurrency(8),
+        )
+    return cols.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+@_ray.remote
+def _bench_gram_set(t: pa.Table, n: int) -> set:
+    out: set = set()
+    for x in t["text"].to_pylist():
+        out |= _word_ngrams(_tokens(x), n)
+    return out

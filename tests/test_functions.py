@@ -730,3 +730,46 @@ def test_media_decode_real_stages(sf_small):
     first = np.frombuffer(fr["frame"][0].as_py(), dtype="<i2")
     full, _ = decode_wav(wavs["payload"][0].as_py())
     np.testing.assert_array_equal(first, full[:32, 0])
+
+
+def test_ngram_contamination_matches_bruteforce(sf_small):
+    from ppagerank_ray.functions.textstats import (
+        _tokens, _word_ngrams, ngram_contamination,
+    )
+
+    docs = _docs_ds(sf_small).select_columns(["doc_id", "text"])
+
+    def bfilt(t):
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 7 == 0))
+
+    bench = docs.map_batches(bfilt, batch_format="pyarrow")
+    got = (
+        ngram_contamination(docs, bench, n=3, thr_num=1, thr_den=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bset = set()
+    for _, r in df[df.doc_id % 7 == 0].iterrows():
+        bset |= _word_ngrams(_tokens(r.text), 3)
+    for i, r in df.iterrows():
+        grams = _word_ngrams(_tokens(r.text), 3)
+        m = len(grams & bset)
+        assert got.n_ngrams[i] == len(grams)
+        assert got.n_matched[i] == m
+        assert got.contaminated[i] == int(len(grams) > 0 and 2 * m >= len(grams))
+    # benchmark members fully overlap themselves
+    mask = got.doc_id % 7 == 0
+    assert (got.overlap[mask & (got.n_ngrams > 0)] == 1.0).all()
+    assert got.contaminated[mask & (got.n_ngrams > 0)].all()
+
+
+def test_ngram_contamination_gate_raises(sf_small, monkeypatch):
+    import ppagerank_ray.functions.textstats as ts
+
+    docs = _docs_ds(sf_small).select_columns(["doc_id", "text"])
+    monkeypatch.setattr(ts, "BENCH_NGRAMS_MAX", 1)
+    with pytest.raises(ValueError, match="BENCH_NGRAMS_MAX"):
+        ts.ngram_contamination(docs, docs, n=3)
