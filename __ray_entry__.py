@@ -912,6 +912,41 @@ def _q_contamination(sf_dir: str):
     return t.sort_by("doc_id")
 
 
+def _q_curation(sf_dir: str):
+    """Training-data curation weights: per-document PageRank centrality
+    (the doc's page vertex — ids are doc_ids by construction) × the
+    stopword-ratio quality score, the cross-pipeline mixing signal a
+    curation pass samples from (centrality-weighted quality sampling).
+    weight = floor-half-up(score6 · stop_ratio6): a product of two
+    already-rounded doubles, identical IEEE ops on both sides."""
+    pr = _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
+    q = pa.concat_tables(
+        list(_ds_tables(_q_quality(sf_dir)))
+    ).combine_chunks().sort_by("doc_id")
+    n_docs = q.num_rows
+    score = pr.sort_by("id")["score"].to_numpy()[:n_docs]
+    ratio = q["stop_ratio"].to_numpy()
+    weight = np.floor(score * ratio * 1e6 + 0.5) / 1e6
+    return pa.Table.from_pydict(
+        {
+            "doc_id": q["doc_id"],
+            "score": score,
+            "stop_ratio": ratio,
+            "weight": weight,
+        }
+    )
+
+
+def _q_token_quantiles(sf_dir: str):
+    """Exact per-language token-count quantiles via the histogram
+    combiner (only the (lang × distinct-count) histogram shuffles);
+    selection index floor((n-1)·q/100) is pure-integer and mirrored in
+    the SQL oracle's row_number selection."""
+    from ppagerank_ray.functions.textstats import token_quantiles
+
+    return token_quantiles(_docs(sf_dir))
+
+
 def _ds_tables(res):
     """Dataset | pa.Table → iterable of pyarrow Tables (query-harness
     collection helper; results here are per-doc aggregate outputs)."""
@@ -1279,13 +1314,15 @@ def _q_user_sessions(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """48 registered queries (round-4 consolidation from 67: same-keyed
+    """50 registered queries (round-4 consolidation from 67: same-keyed
     outputs merged into multi-column tables so the FULL registry fits the
     driver's 50-query correctness window — every operator now gets a
-    driver check every round). 44 are exact-SQL-oracled (betweenness
+    driver check every round). 46 are exact-SQL-oracled (betweenness
     joined them in round 4 via a forward-σ/backward-δ level unroll;
-    `contamination` is the round-4 n-gram decontamination op; SALSA and
-    sampled closeness ride the spectral_centrality / bfs_harmonic
+    round 4 also added `contamination` (n-gram decontamination),
+    `curation_scores` (PageRank × quality mixing weights) and
+    `token_quantiles` (exact histogram-combiner percentiles), with SALSA
+    and sampled closeness riding the spectral_centrality / bfs_harmonic
     oracles as extra columns); the 4 rows-only entries (pagerank_solvers,
     neighborhood_function, ann_methods, media_decoded) are
     convergence-driven or approximate by design, with conformance
@@ -1328,6 +1365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hashes": _q_doc_hashes,  # fingerprint + simhash
         "vocabulary": _q_vocabulary,  # top_terms(tf) + term_doc_freq(df)
         "contamination": _q_contamination,  # n-gram decontamination (r4)
+        "curation_scores": _q_curation,  # pagerank × quality weights (r4)
+        "token_quantiles": _q_token_quantiles,  # exact histogram p50/90/99 (r4)
         "tfidf": _q_tfidf,
         "top_bigrams": _q_top_bigrams,
         "near_dup_jaccard": _q_near_dup_jaccard,
@@ -2309,6 +2348,39 @@ SELECT d.doc_id,
                   AND coalesce(a.n_matched, 0) * 2 >= a.n_ngrams
              THEN 1 ELSE 0 END)::BIGINT AS contaminated
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "curation_scores": f"""
+WITH q AS (
+  SELECT doc_id,
+       CASE WHEN ({_NTOKENS}) > 0
+            THEN round(len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))
+                       / ({_NTOKENS})::DOUBLE, 6)
+            ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+SELECT q.doc_id, p.score, q.stop_ratio,
+       floor(p.score * q.stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS weight
+FROM q JOIN ({_pagerank_sql(PR_ITERS, pvec=False)}) p ON q.doc_id = p.id""",
+        "token_quantiles": f"""
+WITH scored AS (SELECT doc_id, {lang_counts} FROM documents),
+perdoc AS (
+  SELECT d.doc_id, ({_NTOKENS})::BIGINT AS n_tokens,
+         CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+              WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+              WHEN c_es >= c_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT lang_pred, n_tokens,
+         row_number() OVER (PARTITION BY lang_pred ORDER BY n_tokens) - 1 AS r,
+         count(*) OVER (PARTITION BY lang_pred) AS n
+  FROM perdoc
+)
+SELECT lang_pred, max(n)::BIGINT AS n_docs,
+       max(CASE WHEN r = (n-1)*50//100 THEN n_tokens END)::BIGINT AS p50_tokens,
+       max(CASE WHEN r = (n-1)*90//100 THEN n_tokens END)::BIGINT AS p90_tokens,
+       max(CASE WHEN r = (n-1)*99//100 THEN n_tokens END)::BIGINT AS p99_tokens
+FROM ranked GROUP BY lang_pred""",
         "top_bigrams": f"""
 WITH toks AS (
   SELECT doc_id,

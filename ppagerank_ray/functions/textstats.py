@@ -437,3 +437,92 @@ def _bench_gram_set(t: pa.Table, n: int) -> set:
     for x in t["text"].to_pylist():
         out |= _word_ngrams(_tokens(x), n)
     return out
+
+
+# ---------------------------------------------------------------------------
+# exact per-language token-count quantiles (histogram combiner pattern)
+# ---------------------------------------------------------------------------
+
+def token_quantile_partials(t: pa.Table) -> pa.Table:
+    """(lang_pred, n_tokens) → partial count per batch: the histogram
+    combiner that makes EXACT distributed quantiles of an integer metric
+    scale — only the (lang × distinct-count) histogram shuffles, never
+    the document stream."""
+    texts = t["text"].to_pylist()
+    langs, ntoks = [], np.empty(len(texts), np.int64)
+    for i, x in enumerate(texts):
+        toks = _tokens(x)
+        ntoks[i] = len(toks)
+        best_lang, best_score = LANG_PROFILES[0][0], -1
+        for lang, words in LANG_PROFILES:
+            score = sum(1 for w in toks if w in words)
+            if score > best_score:  # strict > ⇒ first-listed lang wins ties
+                best_lang, best_score = lang, score
+        langs.append(best_lang)
+    la = np.asarray(langs, dtype=object)
+    # combine within the batch: unique (lang, n_tokens) pairs + counts
+    order = np.lexsort((ntoks, la))
+    la, ntoks = la[order], ntoks[order]
+    brk = np.flatnonzero((la[1:] != la[:-1]) | (ntoks[1:] != ntoks[:-1]))
+    starts = np.concatenate([[0], brk + 1])
+    counts = np.diff(np.concatenate([starts, [len(la)]]))
+    return pa.Table.from_pydict(
+        {
+            "lang_pred": pa.array(list(la[starts]), type=pa.string()),
+            "n_tokens": ntoks[starts],
+            "n": counts.astype(np.int64),
+        }
+    )
+
+
+QUANTILES = (50, 90, 99)  # percent, selection index floor((n-1)·q/100)
+
+
+def token_quantiles(docs: rd.Dataset) -> pa.Table:
+    """Exact p50/p90/p99 of per-doc token counts, grouped by predicted
+    language. Per-batch histogram combiners → one histogram-sized
+    groupby → the driver folds the tiny (lang, n_tokens, n) table with a
+    cumulative-count selection at index floor((n-1)·q/100) of the sorted
+    values (0-indexed) — a pure-integer rule reproduced verbatim in the
+    SQL oracle, so results are exact at any scale and the shuffle never
+    carries doc-level rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    hist = (
+        docs.select_columns(["text"])
+        .map_batches(token_quantile_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby(["lang_pred", "n_tokens"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    parts = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    h = pa.concat_tables(parts).combine_chunks().sort_by(
+        [("lang_pred", "ascending"), ("n_tokens", "ascending")]
+    )
+    langs = h["lang_pred"].to_pylist()
+    vals = h["n_tokens"].to_numpy()
+    cnts = h["n"].to_numpy()
+    out_lang, out_n, out_q = [], [], {q: [] for q in QUANTILES}
+    i = 0
+    while i < len(langs):
+        j = i
+        while j < len(langs) and langs[j] == langs[i]:
+            j += 1
+        c = np.cumsum(cnts[i:j])
+        n = int(c[-1])
+        out_lang.append(langs[i])
+        out_n.append(n)
+        for q in QUANTILES:
+            idx = (n - 1) * q // 100
+            out_q[q].append(int(vals[i:j][np.searchsorted(c, idx, side="right")]))
+        i = j
+    return pa.Table.from_pydict(
+        {
+            "lang_pred": pa.array(out_lang, type=pa.string()),
+            "n_docs": pa.array(out_n, type=pa.int64()),
+            **{
+                f"p{q}_tokens": pa.array(out_q[q], type=pa.int64())
+                for q in QUANTILES
+            },
+        }
+    )

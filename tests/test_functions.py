@@ -773,3 +773,28 @@ def test_ngram_contamination_gate_raises(sf_small, monkeypatch):
     monkeypatch.setattr(ts, "BENCH_NGRAMS_MAX", 1)
     with pytest.raises(ValueError, match="BENCH_NGRAMS_MAX"):
         ts.ngram_contamination(docs, docs, n=3)
+
+
+def test_token_quantiles_matches_bruteforce(sf_small):
+    from ppagerank_ray.functions.textstats import (
+        LANG_PROFILES, _tokens, token_quantiles,
+    )
+
+    got = token_quantiles(_docs_ds(sf_small)).to_pandas()
+    df = _docs_ds(sf_small).to_pandas()
+    groups = {}
+    for _, r in df.iterrows():
+        toks = _tokens(r.text)
+        best_lang, best_score = LANG_PROFILES[0][0], -1
+        for lang, words in LANG_PROFILES:
+            sc = sum(1 for w in toks if w in words)
+            if sc > best_score:
+                best_lang, best_score = lang, sc
+        groups.setdefault(best_lang, []).append(len(toks))
+    assert sorted(got.lang_pred) == sorted(groups)
+    for _, r in got.iterrows():
+        vals = sorted(groups[r.lang_pred])
+        n = len(vals)
+        assert r.n_docs == n
+        for q, col in [(50, "p50_tokens"), (90, "p90_tokens"), (99, "p99_tokens")]:
+            assert r[col] == vals[(n - 1) * q // 100], (r.lang_pred, q)
