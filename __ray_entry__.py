@@ -855,10 +855,13 @@ def _q_vertex_structure(sf_dir: str):
 def _q_doc_stats(sf_dir: str):
     """Per-document text statistics in one table (round-4 consolidation):
     quality scores (chars/tokens/stopwords/punct/stop-ratio — n_tokens is
-    the old token_counts query) + language ID. Column-zipped from the two
-    streaming map_batches pipelines (both emit doc_id ascending per the
-    shared read order), then verified aligned."""
+    the old token_counts query) + language ID + Gopher/MassiveText-style
+    within-doc repetition stats (duplicate/top bigram+trigram fractions).
+    Column-zipped from the streaming map_batches pipelines (all emit
+    doc_id ascending per the shared read order), then verified aligned."""
     import pyarrow.compute as pc
+
+    from ppagerank_ray.functions.textstats import repetition_stats
 
     q = pa.concat_tables(
         [t for t in _ds_tables(_q_quality(sf_dir))]
@@ -866,10 +869,19 @@ def _q_doc_stats(sf_dir: str):
     l = pa.concat_tables(
         [t for t in _ds_tables(_q_lang_id(sf_dir))]
     ).combine_chunks()
+    r = pa.concat_tables(
+        list(_ds_tables(repetition_stats(_docs(sf_dir))))
+    ).combine_chunks()
     q = q.sort_by("doc_id")
     l = l.sort_by("doc_id")
+    r = r.sort_by("doc_id")
     assert pc.all(pc.equal(q["doc_id"], l["doc_id"])).as_py()
-    return q.append_column("lang_pred", l["lang_pred"])
+    assert pc.all(pc.equal(q["doc_id"], r["doc_id"])).as_py()
+    out = q.append_column("lang_pred", l["lang_pred"])
+    for name in r.column_names:
+        if name != "doc_id":
+            out = out.append_column(name, r[name])
+    return out
 
 
 def _q_doc_hashes(sf_dir: str):
@@ -2290,7 +2302,9 @@ SELECT 'in' AS direction, indeg AS degree, count(*)::BIGINT AS n_vertices FROM (
 SELECT min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
 FROM documents GROUP BY md5(text)""",
         # quality scores (incl. the old token_counts' n_tokens) + lang-ID
-        # joined per doc — round-4 consolidation
+        # + Gopher-style repetition stats joined per doc — round-4
+        # consolidation. Repetition fractions use floor(x*1e6+0.5)/1e6 on
+        # both sides (half-up, tie-safe — same idiom as contamination).
         "doc_stats": f"""
 WITH scored AS (SELECT doc_id, {lang_counts} FROM documents),
 q AS (
@@ -2304,14 +2318,59 @@ q AS (
                        / ({_NTOKENS})::DOUBLE, 6)
             ELSE 0.0 END AS stop_ratio
   FROM documents
+),
+tokd AS (SELECT doc_id, {_TOKENS} AS tk FROM documents WHERE trim(text) <> ''),
+gc2 AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - 1),
+                                 i -> array_to_string(tk[i:i+1], ' '))) AS gram
+    FROM tokd WHERE len(tk) >= 2
+  ) GROUP BY doc_id, gram
+),
+rep2 AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_distinct,
+         max(cnt)::BIGINT AS top
+  FROM gc2 GROUP BY doc_id
+),
+gc3 AS (
+  SELECT doc_id, gram, count(*)::BIGINT AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - 2),
+                                 i -> array_to_string(tk[i:i+2], ' '))) AS gram
+    FROM tokd WHERE len(tk) >= 3
+  ) GROUP BY doc_id, gram
+),
+rep3 AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_distinct,
+         max(cnt)::BIGINT AS top
+  FROM gc3 GROUP BY doc_id
 )
 SELECT q.doc_id, q.n_chars_text, q.n_tokens, q.n_stopwords, q.n_punct,
        q.stop_ratio,
        CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
             WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
             WHEN c_es >= c_fr THEN 'es'
-            ELSE 'fr' END AS lang_pred
-FROM q JOIN scored s ON q.doc_id = s.doc_id""",
+            ELSE 'fr' END AS lang_pred,
+       coalesce(r2.total, 0)::BIGINT AS bigram_total,
+       coalesce(r2.n_distinct, 0)::BIGINT AS bigram_distinct,
+       CASE WHEN coalesce(r2.total, 0) > 0
+            THEN floor((r2.total - r2.n_distinct)::DOUBLE / r2.total * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS bigram_dup_frac,
+       CASE WHEN coalesce(r2.total, 0) > 0
+            THEN floor(r2.top::DOUBLE / r2.total * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS bigram_top_frac,
+       coalesce(r3.total, 0)::BIGINT AS trigram_total,
+       coalesce(r3.n_distinct, 0)::BIGINT AS trigram_distinct,
+       CASE WHEN coalesce(r3.total, 0) > 0
+            THEN floor((r3.total - r3.n_distinct)::DOUBLE / r3.total * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS trigram_dup_frac,
+       CASE WHEN coalesce(r3.total, 0) > 0
+            THEN floor(r3.top::DOUBLE / r3.total * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS trigram_top_frac
+FROM q JOIN scored s ON q.doc_id = s.doc_id
+LEFT JOIN rep2 r2 ON q.doc_id = r2.doc_id
+LEFT JOIN rep3 r3 ON q.doc_id = r3.doc_id""",
         # full vocabulary: term frequency + document frequency — round-4
         # consolidation of top_terms/term_doc_freq (no top-k cut)
         "vocabulary": f"""

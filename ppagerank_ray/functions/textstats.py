@@ -116,6 +116,87 @@ def fingerprints(docs: rd.Dataset) -> rd.Dataset:
     )
 
 
+# ---------- within-document repetition (Gopher/MassiveText-style) ----------
+
+_REP_SCALE = 1_000_000.0
+
+
+def _round6_half_up(x: np.ndarray) -> np.ndarray:
+    """Deterministic 6-dp half-up rounding, identical to the SQL oracle's
+    floor(x*1e6 + 0.5)/1e6 (numpy's round() is banker's and DuckDB's
+    round() is half-up; going through floor on both sides removes the
+    tie-breaking difference — same idiom as the contamination overlap)."""
+    return np.floor(x * _REP_SCALE + 0.5) / _REP_SCALE
+
+
+def repetition_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-document duplicate-n-gram statistics (n = 2, 3): the public
+    Gopher / MassiveText repetition quality filters — fraction of word
+    n-grams that are duplicates of an earlier one, and the share of the
+    single most-frequent n-gram. Vectorized across the whole batch: the
+    batch token stream is factorized to int codes once (pandas C path,
+    exact string equality), n-grams become fixed-width uint64 rows
+    (structured void view — no packing overflow at any vocabulary size),
+    and one np.unique(return_counts) + segment reduceat produces every
+    per-doc distinct/top count. No per-document Python loop after
+    tokenization."""
+    import pandas as pd
+
+    texts = t["text"].to_pylist()
+    ndocs = len(texts)
+    docs = [x.split() for x in texts]
+    lens = np.fromiter((len(d) for d in docs), np.int64, count=ndocs)
+    total = int(lens.sum())
+    out: dict[str, np.ndarray] = {"doc_id": t["doc_id"]}
+    if total == 0:
+        for n, tag in ((2, "bigram"), (3, "trigram")):
+            z = np.zeros(ndocs)
+            out[f"{tag}_total"] = np.zeros(ndocs, np.int64)
+            out[f"{tag}_distinct"] = np.zeros(ndocs, np.int64)
+            out[f"{tag}_dup_frac"] = z
+            out[f"{tag}_top_frac"] = z.copy()
+        return pa.Table.from_pydict(out)
+
+    flat: list[str] = []
+    for d in docs:
+        flat.extend(d)
+    codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+    codes = codes.astype(np.uint64, copy=False)
+    off = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    pos = np.arange(total, dtype=np.int64)
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.uint64), lens)
+    end_of = np.repeat(off[1:], lens)
+
+    for n, tag in ((2, "bigram"), (3, "trigram")):
+        n_grams = np.maximum(lens - (n - 1), 0)
+        starts = pos[pos + (n - 1) < end_of]
+        cols = [doc_of[starts]] + [codes[starts + k] for k in range(n)]
+        rows = np.ascontiguousarray(np.column_stack(cols))
+        void = rows.view([("", rows.dtype)] * rows.shape[1]).ravel()
+        uniq, counts = np.unique(void, return_counts=True)
+        d_idx = uniq.view(rows.dtype).reshape(-1, rows.shape[1])[:, 0].astype(np.int64)
+        distinct = np.bincount(d_idx, minlength=ndocs).astype(np.int64)
+        top = np.zeros(ndocs, np.int64)
+        if d_idx.size:
+            seg = np.flatnonzero(np.r_[True, d_idx[1:] != d_idx[:-1]])
+            top[d_idx[seg]] = np.maximum.reduceat(counts, seg)
+        denom = np.where(n_grams > 0, n_grams, 1).astype(np.float64)
+        dup = _round6_half_up((n_grams - distinct) / denom)
+        topf = _round6_half_up(top / denom)
+        out[f"{tag}_total"] = n_grams
+        out[f"{tag}_distinct"] = distinct
+        out[f"{tag}_dup_frac"] = dup
+        out[f"{tag}_top_frac"] = topf
+    return pa.Table.from_pydict(out)
+
+
+def repetition_stats(docs: rd.Dataset) -> rd.Dataset:
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow", batch_size=8192
+    )
+
+
 # ---------- corpus vocabulary (wide aggregation with combiners) ----------
 
 

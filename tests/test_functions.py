@@ -110,6 +110,45 @@ def test_textstats_units():
     assert list(lid["lang_pred"]) == ["en", "de", "de"]  # ties → first profile (de)
 
 
+def test_repetition_stats_matches_bruteforce():
+    """Vectorized Gopher-style repetition stats == per-doc Counter brute
+    force, including edge cases (empty, 1 token, all-same, long) and a
+    random fuzz batch."""
+    import math
+    from collections import Counter
+
+    from ppagerank_ray.functions.textstats import repetition_stats_batch
+
+    def brute(text, n):
+        tk = text.split()
+        grams = [tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        total = len(grams)
+        c = Counter(grams)
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        dup = r6((total - len(c)) / total) if total else 0.0
+        top = r6(max(c.values()) / total) if total else 0.0
+        return total, len(c), dup, top
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = ["a b a b a b", "x", "", "a a a a", "w " * 400] + [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+        for _ in range(200)
+    ]
+    t = pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_stats_batch(t)
+    for i, tx in enumerate(texts):
+        for n, tag in ((2, "bigram"), (3, "trigram")):
+            exp = brute(tx, n)
+            got = (
+                out[f"{tag}_total"][i].as_py(),
+                out[f"{tag}_distinct"][i].as_py(),
+                out[f"{tag}_dup_frac"][i].as_py(),
+                out[f"{tag}_top_frac"][i].as_py(),
+            )
+            assert got == exp, (i, tag, exp, got)
+
+
 def test_knn_matches_numpy_bruteforce(sf_small):
     emb = _emb_ds(sf_small)
     out = knn_bruteforce(emb, [0, 1, 2], k=5).to_pandas()
