@@ -214,13 +214,18 @@ def _pagerank_fixed(sf_dir: str, iters: int, pvec: bool):
 
 
 def _q_pagerank(sf_dir: str):
-    """Uniform-teleport (PR_ITERS) and personalization-vector
-    (PR_PVEC_ITERS, -pvec load path) fixed-iteration PageRank side by
-    side — two engine runs, one per-vertex table (round-4 registry
-    consolidation of the old pagerank/pagerank_pvec pair)."""
+    """Uniform-teleport (PR_ITERS), personalization-vector
+    (PR_PVEC_ITERS, -pvec load path) and trans-storage (-trans,
+    column-normalized A^T reload — must reproduce the plain scores
+    exactly) fixed-iteration PageRank side by side — three engine runs,
+    one per-vertex table (round-4 registry consolidation of the old
+    pagerank/pagerank_pvec/pagerank_trans trio)."""
     base = _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
     pvec = _pagerank_fixed(sf_dir, PR_PVEC_ITERS, pvec=True)
-    return base.append_column("score_pvec", pvec["score"])
+    trans = _q_pagerank_trans(sf_dir)
+    return base.append_column("score_pvec", pvec["score"]).append_column(
+        "score_trans", trans["score"]
+    )
 
 
 def _q_pagerank_trans(sf_dir: str):
@@ -1026,6 +1031,22 @@ def _q_triangles(sf_dir: str):
     return pa.Table.from_pydict({"n_triangles": pa.array([n], pa.int64())})
 
 
+LINKPRED_SAMPLE_MOD = 4  # deterministic hash-sample: keep ~1/4 of pairs
+
+
+def _q_link_prediction(sf_dir: str):
+    """Neighborhood-overlap link prediction (common neighbors /
+    Adamic-Adar / Jaccard) for hash-sampled candidate pairs sharing ≥1
+    common neighbor — round 4. aa_e9 is the order-invariant integer
+    Adamic-Adar sum (Σ round(1e9/ln deg w)); adamic_adar/jaccard derive
+    from integers by one identical division on both sides."""
+    from ppagerank_ray.algos.linkpred import link_prediction
+
+    gt = _graph(sf_dir)
+    out = link_prediction(gt.edges, gt.n_vertices, sample_mod=LINKPRED_SAMPLE_MOD)
+    return pa.concat_tables(list(_ds_tables(out))).combine_chunks()
+
+
 RUNSCRIPT_ALPHAS = [0.95, 0.85, 0.7]
 RUNSCRIPT_ITERS = 12
 
@@ -1332,9 +1353,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     driver check every round). 46 are exact-SQL-oracled (betweenness
     joined them in round 4 via a forward-σ/backward-δ level unroll;
     round 4 also added `contamination` (n-gram decontamination),
-    `curation_scores` (PageRank × quality mixing weights) and
-    `token_quantiles` (exact histogram-combiner percentiles), with SALSA
-    and sampled closeness riding the spectral_centrality / bfs_harmonic
+    `curation_scores` (PageRank × quality mixing weights),
+    `token_quantiles` (exact histogram-combiner percentiles) and
+    `link_prediction` (common-neighbors/Adamic-Adar/Jaccard over hash-
+    sampled pairs — slot freed by folding trans into `pagerank` as
+    score_trans), with SALSA, sampled closeness and Gopher repetition
+    stats riding the spectral_centrality / bfs_harmonic / doc_stats
     oracles as extra columns); the 4 rows-only entries (pagerank_solvers,
     neighborhood_function, ann_methods, media_decoded) are
     convergence-driven or approximate by design, with conformance
@@ -1349,8 +1373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outdegree": _q_outdegree,  # + is_dangling (old `dangling`)
         "matrix_stats": _q_matrix_stats,
         # iterative algorithms (fixed-iteration, oracle-checked)
-        "pagerank": _q_pagerank,  # + score_pvec (old `pagerank_pvec`)
-        "pagerank_trans": _q_pagerank_trans,
+        "pagerank": _q_pagerank,  # + score_pvec + score_trans (old
+        # `pagerank_pvec`/`pagerank_trans` — trans is still its own
+        # write-transposed/reload/iterate pipeline, column-merged r4)
         "pagerank_top20": _q_pagerank_top20,
         "spectral_centrality": _q_spectral,  # hits + katz + eigenvector + salsa
         "connected_components": _q_components,  # + component_size
@@ -1359,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_structure": _q_vertex_structure,  # kcore + clustering
         "degree_distributions": _q_degree_distributions,  # out + in
         "graph_summary": _q_graph_summary,  # reciprocity+assortativity+tri
+        "link_prediction": _q_link_prediction,  # CN/Adamic-Adar/Jaccard (r4)
         "bfs_harmonic": _q_bfs_harmonic,  # bfs_distance + harmonic (✓SQL)
         "host_edges": _q_host_edges,
         "host_scores": _q_host_scores,  # pagerank_by_host + host_pagerank
@@ -2200,13 +2226,36 @@ SELECT (SELECT v FROM nv) AS n_vertices,
           SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.dst)) AS norm_1,
        (SELECT round(max(s), 6) FROM (
           SELECT sum(1.0/d.outdeg) AS s FROM edges e JOIN deg d ON e.src = d.id GROUP BY e.src)) AS norm_inf""",
+        # score_trans: the trans-storage load (M = A^T, column-normalized,
+        # y = M*x) must equal plain row-stochastic PageRank — the Ray side
+        # computes it through an independent write/reload/iterate path, so
+        # oracle score_trans == score by design
         "pagerank": f"""
-SELECT b.id, b.score, p.score AS score_pvec
+SELECT b.id, b.score, p.score AS score_pvec, b.score AS score_trans
 FROM ({_pagerank_sql(PR_ITERS, pvec=False)}) b
 JOIN ({_pagerank_sql(PR_PVEC_ITERS, pvec=True)}) p ON b.id = p.id""",
-        # trans-storage load (M = A^T, column-normalized, y = M*x) must
-        # equal plain row-stochastic PageRank — same oracle by design
-        "pagerank_trans": _pagerank_sql(PR_ITERS, pvec=False),
+        # wedge self-join on the undirected adjacency; the Adamic-Adar sum
+        # is an exact BIGINT accumulation (order-invariant on both sides)
+        "link_prediction": "WITH "
+        + _GRAPH_CTES
+        + f""",
+degu AS (SELECT src AS id, count(*)::BIGINT AS d FROM undb GROUP BY src),
+wed AS (
+  SELECT n1.src AS w, n1.dst AS u, n2.dst AS v
+  FROM undb n1 JOIN undb n2 ON n1.src = n2.src AND n1.dst < n2.dst
+  WHERE (((n1.dst % 2147483647) * 1000003 + n2.dst) % 2147483647) % {LINKPRED_SAMPLE_MOD} = 0
+),
+agg AS (
+  SELECT wd.u, wd.v, count(*)::BIGINT AS common_neighbors,
+         sum(floor(1000000000.0 / ln(dw.d) + 0.5)::BIGINT)::BIGINT AS aa_e9
+  FROM wed wd JOIN degu dw ON wd.w = dw.id
+  GROUP BY wd.u, wd.v
+)
+SELECT a.u, a.v, a.common_neighbors, a.aa_e9,
+       a.aa_e9 / 1000000000.0 AS adamic_adar,
+       floor(a.common_neighbors::DOUBLE / (du.d + dv.d - a.common_neighbors)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM agg a JOIN degu du ON a.u = du.id JOIN degu dv ON a.v = dv.id""",
         "pagerank_top20": _pagerank_sql(PR_ITERS, pvec=False).replace(
             f"SELECT id, round(x, 6) AS score FROM pr{PR_ITERS}",
             f"""SELECT row_number() OVER (ORDER BY round(x, 6) DESC, id ASC) AS rank,

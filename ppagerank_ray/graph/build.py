@@ -359,7 +359,7 @@ def load_normalized_matrix(
     columns of M become dangling rows of A automatically. The reference
     marks its own trans branch untested (ppagerank.cc:206-209); this one is
     oracle-tested (tests/test_cli.py::test_cli_trans_matches_untransposed,
-    query `pagerank_trans`)."""
+    query `pagerank`'s score_trans column)."""
     from ppagerank_ray.sources.bsmat import load_matrix
 
     raw, m, n, nnz = load_matrix(path, hint=hint)
