@@ -181,6 +181,31 @@ def main() -> None:
         rec["docs_per_sec"] = round(rec["docs"] / rec["signatures_sec"])
         emit(rec)
 
+    if "linkpred" in phases:
+        # link prediction on the formula graph at `pages` scale. Wedge
+        # work is O(Σ deg²), so the two web-scale controls are exercised
+        # for real: hash-sampling (LP_SAMPLE_MOD, default 64 — pair table
+        # shrinks 64×, surviving scores exact) and the hub valve
+        # (LP_MAX_CENTER_DEG, default 4096 — formula graphs have bounded
+        # degree, so at defaults the valve must NOT fire).
+        rec = {"phase": "linkpred", "pages": pages}
+        from ppagerank_ray.algos.linkpred import link_prediction
+
+        smod = int(os.environ.get("LP_SAMPLE_MOD", "64"))
+        vmax = int(os.environ.get("LP_MAX_CENTER_DEG", "4096"))
+        rec["sample_mod"], rec["max_center_degree"] = smod, vmax
+        nv = n_vertices_for(pages)
+        edges = synth_edges(pages, parallelism=ncpu * 4)
+        t0 = time.time()
+        lp = link_prediction(
+            edges, nv, sample_mod=smod, max_center_degree=vmax
+        ).materialize()
+        rec["linkpred_sec"] = round(time.time() - t0, 1)
+        rec["pairs"] = lp.count()
+        top = lp.sort("aa_e9", descending=True).limit(3).to_pandas()
+        rec["top_aa_e9"] = [int(x) for x in top["aa_e9"]]
+        emit(rec)
+
     if "minhash" in phases:
         # 10× corpus with a REALISTIC duplication structure: replica 0 is
         # the base text; for doc_id % 5 == 0 replica 1 is a near-dup clone
