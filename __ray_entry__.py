@@ -772,6 +772,46 @@ s2 AS (SELECT src, dst, {mulmod('xor(z, z >> 27)', C3)} AS z FROM s1)
 SELECT src, dst FROM s2 WHERE xor(z, z >> 31) < {thresh}::UBIGINT"""
 
 
+def _curation_sql() -> str:
+    """curation_scores oracle: weight = floor-half-up(score6·ratio6), then
+    the weighted-Bernoulli keep decision replayed with the same splitmix64
+    chain as sampled_edges — h/2^64 < least(weight·boost, 1.0), one
+    uint64→double conversion and one IEEE comparison on both sides."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+       CASE WHEN ({_NTOKENS}) > 0
+            THEN round(len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))
+                       / ({_NTOKENS})::DOUBLE, 6)
+            ELSE 0.0 END AS stop_ratio
+  FROM documents
+),
+w AS (
+  SELECT q.doc_id, p.score, q.stop_ratio,
+         floor(p.score * q.stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS weight
+  FROM q JOIN ({_pagerank_sql(PR_ITERS, pvec=False)}) p ON q.doc_id = p.id
+),
+s0 AS (SELECT *, (((doc_id::HUGEINT * {K1} + {CURATION_SEED}) % {M} + {C1}) % {M})::UBIGINT AS z FROM w),
+s1 AS (SELECT * EXCLUDE (z), {mulmod('xor(z, z >> 30)', C2)} AS z FROM s0),
+s2 AS (SELECT * EXCLUDE (z), {mulmod('xor(z, z >> 27)', C3)} AS z FROM s1)
+SELECT doc_id, score, stop_ratio, weight,
+       (CASE WHEN xor(z, z >> 31)::DOUBLE / 18446744073709551616.0
+                  < least(weight * {CURATION_SAMPLE_BOOST}, 1.0)
+             THEN 1 ELSE 0 END)::BIGINT AS sampled
+FROM s2"""
+
+
 def _q_random_walks(sf_dir: str):
     """DeepWalk-style corpus: one deterministic truncated random walk of
     ≤ WALK_LEN steps per vertex over the directed edge table (sharded
@@ -929,13 +969,23 @@ def _q_contamination(sf_dir: str):
     return t.sort_by("doc_id")
 
 
+CURATION_SEED = 17
+CURATION_SAMPLE_BOOST = 300.0
+
+
 def _q_curation(sf_dir: str):
     """Training-data curation weights: per-document PageRank centrality
     (the doc's page vertex — ids are doc_ids by construction) × the
     stopword-ratio quality score, the cross-pipeline mixing signal a
     curation pass samples from (centrality-weighted quality sampling).
     weight = floor-half-up(score6 · stop_ratio6): a product of two
-    already-rounded doubles, identical IEEE ops on both sides."""
+    already-rounded doubles, identical IEEE ops on both sides. The
+    `sampled` column is the pipeline's final step (round 4): the
+    deterministic weighted-Bernoulli keep decision
+    (functions/sampling.py — splitmix64(doc_id·K)/2^64 < weight),
+    order/partitioning-invariant and replayed bit-for-bit in SQL."""
+    from ppagerank_ray.functions.sampling import weighted_sample_mask
+
     pr = _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
     q = pa.concat_tables(
         list(_ds_tables(_q_quality(sf_dir)))
@@ -944,12 +994,19 @@ def _q_curation(sf_dir: str):
     score = pr.sort_by("id")["score"].to_numpy()[:n_docs]
     ratio = q["stop_ratio"].to_numpy()
     weight = np.floor(score * ratio * 1e6 + 0.5) / 1e6
+    # weights at oracle scale are ~1e-3 — scale ×300 so the sample is
+    # non-degenerate (a few dozen kept rows, not 0)
+    p_keep = np.minimum(weight * CURATION_SAMPLE_BOOST, 1.0)
+    sampled = weighted_sample_mask(
+        q["doc_id"].to_numpy(), p_keep, seed=CURATION_SEED
+    )
     return pa.Table.from_pydict(
         {
             "doc_id": q["doc_id"],
             "score": score,
             "stop_ratio": ratio,
             "weight": weight,
+            "sampled": sampled,
         }
     )
 
@@ -2456,18 +2513,7 @@ SELECT d.doc_id,
                   AND coalesce(a.n_matched, 0) * 2 >= a.n_ngrams
              THEN 1 ELSE 0 END)::BIGINT AS contaminated
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
-        "curation_scores": f"""
-WITH q AS (
-  SELECT doc_id,
-       CASE WHEN ({_NTOKENS}) > 0
-            THEN round(len(list_filter({_TOKENS}, x -> x IN ('the','a','and','of','to','in')))
-                       / ({_NTOKENS})::DOUBLE, 6)
-            ELSE 0.0 END AS stop_ratio
-  FROM documents
-)
-SELECT q.doc_id, p.score, q.stop_ratio,
-       floor(p.score * q.stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS weight
-FROM q JOIN ({_pagerank_sql(PR_ITERS, pvec=False)}) p ON q.doc_id = p.id""",
+        "curation_scores": _curation_sql(),
         "token_quantiles": f"""
 WITH scored AS (SELECT doc_id, {lang_counts} FROM documents),
 perdoc AS (

@@ -110,6 +110,38 @@ def test_textstats_units():
     assert list(lid["lang_pred"]) == ["en", "de", "de"]  # ties → first profile (de)
 
 
+def test_weighted_bernoulli_deterministic_and_partition_invariant():
+    """Streaming weighted sample == the mask helper, identical across
+    block counts (order/partitioning invariance contract), empty at
+    weight 0 and complete at weight 1."""
+    from ppagerank_ray.functions.sampling import (
+        weighted_bernoulli,
+        weighted_sample_mask,
+    )
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.round(rng.uniform(0, 1, n), 6)
+    t = pa.Table.from_pydict({"doc_id": ids, "w": w})
+    expected = ids[weighted_sample_mask(ids, w, seed=17).astype(bool)]
+    for blocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(blocks)
+        kept = np.sort(
+            weighted_bernoulli(ds, "doc_id", "w", seed=17)
+            .to_pandas()["doc_id"]
+            .to_numpy()
+        )
+        np.testing.assert_array_equal(kept, expected)
+    # a different seed gives a different sample of similar size
+    other = ids[weighted_sample_mask(ids, w, seed=18).astype(bool)]
+    assert not np.array_equal(other, expected)
+    assert abs(len(other) - len(expected)) < n // 10
+    zero = weighted_sample_mask(ids, np.zeros(n), seed=17)
+    one = weighted_sample_mask(ids, np.ones(n), seed=17)
+    assert zero.sum() == 0 and one.sum() == n
+
+
 def test_repetition_stats_matches_bruteforce():
     """Vectorized Gopher-style repetition stats == per-doc Counter brute
     force, including edge cases (empty, 1 token, all-same, long) and a
