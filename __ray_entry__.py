@@ -31,6 +31,8 @@ PR_PVEC_ITERS = 10
 CC_ITERS = 24  # min-label rounds unrolled in SQL (diameter ≪ 24 at sf≤0.1)
 LP_ITERS = 4
 KC_ITERS = 16  # h-index rounds unrolled in SQL (10 rounds at sf0.1; extra rounds are fixpoint no-ops)
+MIS_SEED = 7  # priority-hash seed for the maximal independent set
+MIS_ITERS = 16  # MIS rounds unrolled in SQL (4-6 at sf≤0.1; extras are fixpoint no-ops; the query asserts engine rounds ≤ this)
 BFS_SEED = 0
 HARM_SEEDS = 32  # sampled seeds for harmonic/betweenness estimators
 # common denominator for the EXACT integer harmonic numerator (Σ lcm/d):
@@ -886,14 +888,32 @@ def _q_host_scores(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _q_mis(sf_dir: str) -> np.ndarray:
+    """Deterministic maximal independent set (algos/mis.py) — returns the
+    0/1 membership aligned to vertex id order. The engine runs to exact
+    fixpoint; the assert pins it inside the oracle's MIS_ITERS unroll."""
+    from ppagerank_ray.algos.mis import maximal_independent_set
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    info = maximal_independent_set(eng, seed=MIS_SEED)
+    st = eng.to_array("mis_status", integer=True)
+    eng.shutdown()
+    assert info["rounds"] <= MIS_ITERS, info
+    assert (st != 0).all()  # fixpoint: nobody is still active
+    return (st == 1).astype(np.int64)
+
+
 def _q_vertex_structure(sf_dir: str):
     """k-core number + per-vertex triangle count + local clustering
-    coefficient in one per-vertex table (round-4 consolidation of the
-    old kcore/clustering queries; both pipelines still run)."""
+    coefficient + maximal-independent-set membership in one per-vertex
+    table (round-4 consolidation of the old kcore/clustering queries;
+    every constituent pipeline still runs)."""
     k = _q_kcore(sf_dir)
     c = _q_clustering(sf_dir)
-    return k.append_column("n_tri", c["n_tri"]).append_column(
-        "clustering", c["clustering"]
+    return (
+        k.append_column("n_tri", c["n_tri"])
+        .append_column("clustering", c["clustering"])
+        .append_column("in_mis", pa.array(_q_mis(sf_dir), type=pa.int64()))
     )
 
 
@@ -1520,6 +1540,67 @@ und AS MATERIALIZED (
 ),
 undb AS MATERIALIZED (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und)
 """
+
+
+def _mis_sql(iters: int, seed: int) -> str:
+    """Deterministic-greedy MIS unrolled (algos/mis.py semantics): static
+    unique priorities = int64 view of splitmix64(id·K + seed) with the
+    INT64_MAX sentinel value clamped (identical to VertexWorker.mis_init);
+    per round active local-priority-minima join (j), then active
+    neighbors of MIS members are removed (st 0 active / 1 MIS / 2 out)."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    IMAX = (1 << 63) - 1
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    parts = [
+        _GRAPH_CTES,
+        f""", ms0 AS (SELECT id,
+       (((id::HUGEINT * {K1} + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z
+       FROM verts),
+ms1 AS (SELECT id, {mulmod('xor(z, z >> 30)', C2)} AS z FROM ms0),
+ms2 AS (SELECT id, {mulmod('xor(z, z >> 27)', C3)} AS z FROM ms1),
+misp AS MATERIALIZED (
+  SELECT id, CASE WHEN ps = {IMAX} THEN {IMAX - 1} ELSE ps END AS p FROM (
+    SELECT id, CASE WHEN z >= {1 << 63}::UBIGINT
+                    THEN ((z::HUGEINT) - {M}::HUGEINT)::BIGINT
+                    ELSE z::BIGINT END AS ps
+    FROM (SELECT id, xor(z, z >> 31) AS z FROM ms2))
+),
+mis0 AS (SELECT id, 0 AS st FROM verts)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", act{t} AS MATERIALIZED (
+  SELECT m.id, p.p FROM mis{t-1} m JOIN misp p ON m.id = p.id WHERE m.st = 0
+), j{t} AS MATERIALIZED (
+  SELECT a.id FROM act{t} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM undb e JOIN act{t} u ON u.id = e.dst
+    WHERE e.src = a.id AND u.p < a.p)
+), mis{t} AS MATERIALIZED (
+  SELECT m.id, CASE
+      WHEN m.id IN (SELECT id FROM j{t}) THEN 1
+      WHEN m.st = 0 AND EXISTS (
+        SELECT 1 FROM undb e WHERE e.src = m.id AND e.dst IN (
+          SELECT id FROM mis{t-1} WHERE st = 1
+          UNION ALL SELECT id FROM j{t}))
+      THEN 2 ELSE m.st END AS st
+  FROM mis{t-1} m
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT id, (st = 1)::BIGINT AS in_mis FROM mis{iters}"
+    )
 
 
 def _pagerank_sql(iters: int, pvec: bool, alpha: float = ALPHA) -> str:
@@ -2334,9 +2415,10 @@ FROM cc{CC_ITERS}""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "vertex_structure": f"""
-SELECT k.id, k.core, c.n_tri, c.clustering
+SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis
 FROM ({_kcore_sql(KC_ITERS)}) k
-JOIN ({_clustering_sql()}) c ON k.id = c.id""",
+JOIN ({_clustering_sql()}) c ON k.id = c.id
+JOIN ({_mis_sql(MIS_ITERS, MIS_SEED)}) m ON k.id = m.id""",
         "bfs_harmonic": f"""
 SELECT b.id, b.dist, h.harmonic, h.closeness
 FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b

@@ -492,9 +492,10 @@ class _VertexWorker:
             out.append((uniq_local, mins))
         return out[0] if self.P == 1 else tuple(out)
 
-    def cc_reduce(self, refs: list):
-        """labels = min(labels, incoming mins). Returns (n_changed, slice)."""
-        labels = self.ivecs["label"]
+    def _merge_min_partials(self, refs: list):
+        """Merge per-partition (local_idx, min) pairs from every source
+        worker into one (uniq_local_idx, mins) pair — (None, None) when no
+        partial carried an entry for this partition."""
         idx_all, val_all = [], []
         ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
         if ref_idx:
@@ -507,7 +508,7 @@ class _VertexWorker:
                 idx_all.append(pair[0])
                 val_all.append(pair[1])
         if not idx_all:
-            return 0, labels
+            return None, None
         idx = np.concatenate(idx_all)
         val = np.concatenate(val_all)
         order = np.argsort(idx, kind="stable")
@@ -515,11 +516,76 @@ class _VertexWorker:
         starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
         uniq = idx_s[starts]
         mins = np.minimum.reduceat(val_s, starts)
+        return uniq, mins
+
+    def cc_reduce(self, refs: list):
+        """labels = min(labels, incoming mins). Returns (n_changed, slice)."""
+        labels = self.ivecs["label"]
+        uniq, mins = self._merge_min_partials(refs)
+        if uniq is None:
+            return 0, labels
         new = labels.copy()
         new[uniq] = np.minimum(new[uniq], mins)  # uniq is unique ⇒ fancy-min
         changed = int((new < labels).sum())
         self.ivecs["label"] = new
         return changed, new
+
+    # ---------- maximal independent set (deterministic parallel greedy) ----------
+
+    def mis_init(self, seed: int):
+        """status 0 = active, 1 = in MIS, 2 = removed. Priority = the
+        int64 view of splitmix64(id·K + seed): id → id·K + seed is a
+        bijection mod 2^64 (K odd) and the splitmix64 finalizer is a
+        permutation, so priorities are globally UNIQUE — no ties ever.
+        The single value equal to the INT64_MAX min-identity sentinel is
+        clamped to INT64_MAX−1 (mirrored bit-for-bit in the SQL oracle)."""
+        from ppagerank_ray.algos.anf import splitmix64
+
+        ids = np.arange(self.vlo, self.vhi, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids * np.uint64(0x100000001B3) + np.uint64(seed))
+        p = h.view(np.int64).copy()
+        imax = np.iinfo(np.int64).max
+        p[p == imax] = imax - 1
+        self.ivecs["mis_p"] = p
+        self.ivecs["mis_status"] = np.zeros(self.size, dtype=np.int64)
+
+    def mis_labels(self, phase: int):
+        """Advertised labels for the next min-over-neighbors pass.
+        Phase 1: active vertices advertise their priority; phase 2: MIS
+        members advertise 0. Everyone else the INT64_MAX min-identity."""
+        st = self.ivecs["mis_status"]
+        imax = np.iinfo(np.int64).max
+        if phase == 1:
+            self.ivecs["mislab"] = np.where(st == 0, self.ivecs["mis_p"], imax)
+        else:
+            self.ivecs["mislab"] = np.where(st == 1, np.int64(0), imax)
+
+    def mis_join_reduce(self, refs: list) -> int:
+        """An active vertex whose priority beats the min over its ACTIVE
+        neighbors joins the MIS (no active neighbor ⇒ joins). Two adjacent
+        active vertices can never both join (one priority is smaller)."""
+        st = self.ivecs["mis_status"]
+        nbr_min = np.full(self.size, np.iinfo(np.int64).max, dtype=np.int64)
+        uniq, mins = self._merge_min_partials(refs)
+        if uniq is not None:
+            nbr_min[uniq] = mins
+        joins = (st == 0) & (self.ivecs["mis_p"] < nbr_min)
+        st[joins] = 1
+        return int(joins.sum())
+
+    def mis_remove_reduce(self, refs: list) -> tuple[int, int]:
+        """Active vertices with a MIS neighbor (phase-2 min == 0) become
+        removed. Returns (n_removed, n_still_active)."""
+        st = self.ivecs["mis_status"]
+        uniq, mins = self._merge_min_partials(refs)
+        rm = np.zeros(self.size, dtype=bool)
+        if uniq is not None:
+            hit = uniq[mins == 0]
+            rm[hit] = True
+        rm &= st == 0
+        st[rm] = 2
+        return int(rm.sum()), int((st == 0).sum())
 
     # ---------- label propagation (synchronous neighbor-mode) ----------
 
