@@ -949,17 +949,58 @@ def _q_doc_stats(sf_dir: str):
     return out
 
 
+def _pii_augment(t: pa.Table) -> pa.Table:
+    """Deterministic synthetic-PII augmentation: the fixture texts carry
+    no PII, so (same trick as media_features' text-derived payloads and
+    the doc_id%97 contamination benchmark) both the Ray pipeline and the
+    SQL oracle append identical email/IP/phone suffixes derived from
+    doc_id. Fixture-side code — the redaction kernel itself
+    (functions/redact.py) is fully vectorized Arrow RE2."""
+    ids = t["doc_id"].to_numpy()
+    out = []
+    for d, x in zip(ids, t["text"].to_pylist()):
+        if d % 3 == 0:
+            x += f" reach admin{d}@example.org"
+        if d % 7 == 0:
+            x += (
+                f" contact user{d}@example.com node"
+                f" 10.{d % 250}.{d % 100}.{d % 50}"
+                f" tel 555-{100 + d % 900}-{1000 + d % 9000}"
+            )
+        out.append(x)
+    return pa.Table.from_pydict(
+        {"doc_id": t["doc_id"], "text": pa.array(out, type=pa.string())}
+    )
+
+
+def _q_pii(sf_dir: str):
+    """PII counts + redacted-text fingerprint (functions/redact.py) over
+    the deterministically PII-augmented corpus."""
+    from ppagerank_ray.functions.redact import pii_redaction
+
+    docs = _docs(sf_dir).map_batches(_pii_augment, batch_format="pyarrow")
+    return pii_redaction(docs)
+
+
 def _q_doc_hashes(sf_dir: str):
-    """Document fingerprint (rolling-hash md5) + SimHash signature in one
-    per-doc table (round-4 consolidation of doc_fingerprint/simhash)."""
+    """Document fingerprint (rolling-hash md5) + SimHash signature + PII
+    scrub columns (counts + redacted-text fingerprint) in one per-doc
+    table (round-4 consolidation of doc_fingerprint/simhash, then the
+    PII redaction stage riding the same key)."""
     import pyarrow.compute as pc
 
     f = pa.concat_tables(list(_ds_tables(_q_fingerprint(sf_dir)))).combine_chunks()
     s = pa.concat_tables(list(_ds_tables(_q_simhash(sf_dir)))).combine_chunks()
+    p = pa.concat_tables(list(_ds_tables(_q_pii(sf_dir)))).combine_chunks()
     f = f.sort_by("doc_id")
     s = s.sort_by("doc_id")
+    p = p.sort_by("doc_id")
     assert pc.all(pc.equal(f["doc_id"], s["doc_id"])).as_py()
-    return f.append_column("simhash", s["simhash"])
+    assert pc.all(pc.equal(f["doc_id"], p["doc_id"])).as_py()
+    out = f.append_column("simhash", s["simhash"])
+    for name in ("n_emails", "n_ips", "n_phones", "redacted_fp"):
+        out = out.append_column(name, p[name])
+    return out
 
 
 CONTAM_N = 5  # word-n-gram size for decontamination
@@ -1601,6 +1642,41 @@ mis0 AS (SELECT id, 0 AS st FROM verts)""",
         + "".join(parts)
         + f"\nSELECT id, (st = 1)::BIGINT AS in_mis FROM mis{iters}"
     )
+
+
+def _pii_doc_hashes_sql(base: str) -> str:
+    """Inject the synthetic-PII augmentation + redaction CTEs (mirror of
+    _pii_augment and functions/redact.py — counts on the original
+    augmented text, sequential email → IP → phone replacement, md5 of
+    the result) into the doc_hashes oracle."""
+    from ppagerank_ray.functions.redact import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    pii = """aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' reach admin' || doc_id || '@example.org' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || doc_id || '@example.com node 10.'
+              || (doc_id % 250) || '.' || (doc_id % 100) || '.' || (doc_id % 50)
+              || ' tel 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)
+         ELSE '' END AS atext
+  FROM documents
+),
+pii AS (
+  SELECT doc_id,
+    len(regexp_extract_all(atext, '@E@'))::BIGINT AS n_emails,
+    len(regexp_extract_all(atext, '@I@'))::BIGINT AS n_ips,
+    len(regexp_extract_all(atext, '@P@'))::BIGINT AS n_phones,
+    md5(regexp_replace(regexp_replace(regexp_replace(atext,
+        '@E@', '<EMAIL>', 'g'), '@I@', '<IP>', 'g'),
+        '@P@', '<PHONE>', 'g')) AS redacted_fp
+  FROM aug
+),
+"""
+    pii = (
+        pii.replace("@E@", EMAIL_RE).replace("@I@", IPV4_RE).replace("@P@", PHONE_RE)
+    )
+    return base.replace("WITH ", "WITH " + pii, 1)
 
 
 def _pagerank_sql(iters: int, pvec: bool, alpha: float = ALPHA) -> str:
@@ -2642,11 +2718,12 @@ SELECT t.doc_id, t.term, t.tf,
        round(t.tf * ln((SELECT v FROM n) / d.df), 6) AS tfidf
 FROM tf t JOIN tdf d ON t.term = d.term""",
         # doc_hashes = rolling-hash fingerprint (md5) + SimHash — round-4
-        # consolidation. SimHash: token hash = first 8 bytes of md5(token)
-        # (hi/lo 32-bit halves to stay inside BIGINT); bit b of the
-        # signature is set iff 2·(ones at b) > n_tokens; emitted as
-        # 16-char hex, identical to functions/dedup.py::_simhash_values
-        "doc_hashes": r"""
+        # consolidation — + PII scrub columns (functions/redact.py):
+        # counts per pattern on the original augmented text, replacements
+        # applied sequentially email → IP → phone, md5 of the result.
+        # DuckDB regexp_* and Arrow's kernels are both RE2, so the
+        # patterns behave identically on both sides.
+        "doc_hashes": _pii_doc_hashes_sql(r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
   FROM documents WHERE trim(text) <> ''
@@ -2674,8 +2751,10 @@ sig AS (
   FROM bits JOIN cnt c ON bits.doc_id = c.doc_id GROUP BY bits.doc_id
 )
 SELECT d.doc_id, md5(d.text) AS fingerprint,
-       coalesce(printf('%08x%08x', s.hi, s.lo), '0000000000000000') AS simhash
-FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id""",
+       coalesce(printf('%08x%08x', s.hi, s.lo), '0000000000000000') AS simhash,
+       p.n_emails, p.n_ips, p.n_phones, p.redacted_fp
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+JOIN pii p ON d.doc_id = p.doc_id"""),
         # media payload = utf-8 bytes of text (ASCII fixture: codepoint ==
         # byte), so byte-level features are SQL-expressible; round 4 folds
         # the resize stage's output meta in (orig_bytes == n_bytes;

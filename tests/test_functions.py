@@ -869,3 +869,43 @@ def test_token_quantiles_matches_bruteforce(sf_small):
         assert r.n_docs == n
         for q, col in [(50, "p50_tokens"), (90, "p90_tokens"), (99, "p99_tokens")]:
             assert r[col] == vals[(n - 1) * q // 100], (r.lang_pred, q)
+
+
+def test_pii_redaction_hand_cases():
+    import hashlib
+
+    import ray.data as rd
+
+    from ppagerank_ray.functions.redact import pii_redaction
+
+    rows = {
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "mail me at jo.doe+x@sub.example.co.uk today",
+            "server 192.168.0.1 and 10.0.0.255 rebooted",
+            "call 555-867-5309 or 555-123-4567 x 555-12-345",
+            "no pii here at all",
+            "combo a@b.io 1.2.3.4 999-999-9999",
+        ],
+    }
+    out = (
+        pii_redaction(rd.from_arrow(pa.Table.from_pydict(rows)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_emails"].tolist() == [1, 0, 0, 0, 1]
+    assert out["n_ips"].tolist() == [0, 2, 0, 0, 1]
+    # 555-12-345 is not a full phone pattern
+    assert out["n_phones"].tolist() == [0, 0, 2, 0, 1]
+    expect = [
+        "mail me at <EMAIL> today",
+        "server <IP> and <IP> rebooted",
+        "call <PHONE> or <PHONE> x 555-12-345",
+        "no pii here at all",
+        "combo <EMAIL> <IP> <PHONE>",
+    ]
+    fps = [hashlib.md5(x.encode()).hexdigest() for x in expect]
+    assert out["redacted_fp"].tolist() == fps
+    # clean doc keeps its original fingerprint
+    assert out["redacted_fp"][3] == hashlib.md5(rows["text"][3].encode()).hexdigest()
