@@ -33,6 +33,8 @@ LP_ITERS = 4
 KC_ITERS = 16  # h-index rounds unrolled in SQL (10 rounds at sf0.1; extra rounds are fixpoint no-ops)
 MIS_SEED = 7  # priority-hash seed for the maximal independent set
 MIS_ITERS = 16  # MIS rounds unrolled in SQL (4-6 at sf≤0.1; extras are fixpoint no-ops; the query asserts engine rounds ≤ this)
+MATCH_SEED = 13  # key-hash seed for the maximal matching
+MATCH_ITERS = 24  # handshake rounds unrolled in SQL (11-14 at sf≤0.1; the query asserts engine rounds ≤ this)
 BFS_SEED = 0
 HARM_SEEDS = 32  # sampled seeds for harmonic/betweenness estimators
 # common denominator for the EXACT integer harmonic numerator (Σ lcm/d):
@@ -903,17 +905,33 @@ def _q_mis(sf_dir: str) -> np.ndarray:
     return (st == 1).astype(np.int64)
 
 
+def _q_matching(sf_dir: str) -> np.ndarray:
+    """Deterministic local-max maximal matching (algos/matching.py) —
+    returns partner ids (-1 unmatched) aligned to vertex id order."""
+    from ppagerank_ray.algos.matching import maximal_matching
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    info = maximal_matching(eng, seed=MATCH_SEED)
+    partner = eng.to_array("partner", integer=True)
+    eng.shutdown()
+    assert info["rounds"] <= MATCH_ITERS, info
+    return partner
+
+
 def _q_vertex_structure(sf_dir: str):
     """k-core number + per-vertex triangle count + local clustering
-    coefficient + maximal-independent-set membership in one per-vertex
-    table (round-4 consolidation of the old kcore/clustering queries;
-    every constituent pipeline still runs)."""
+    coefficient + maximal-independent-set membership + maximal-matching
+    partner in one per-vertex table (round-4 consolidation of the old
+    kcore/clustering queries; every constituent pipeline still runs)."""
     k = _q_kcore(sf_dir)
     c = _q_clustering(sf_dir)
     return (
         k.append_column("n_tri", c["n_tri"])
         .append_column("clustering", c["clustering"])
         .append_column("in_mis", pa.array(_q_mis(sf_dir), type=pa.int64()))
+        .append_column(
+            "match_with", pa.array(_q_matching(sf_dir), type=pa.int64())
+        )
     )
 
 
@@ -1641,6 +1659,65 @@ mis0 AS (SELECT id, 0 AS st FROM verts)""",
         "WITH "
         + "".join(parts)
         + f"\nSELECT id, (st = 1)::BIGINT AS in_mis FROM mis{iters}"
+    )
+
+
+def _match_sql(iters: int, seed: int) -> str:
+    """Local-max maximal matching unrolled (algos/matching.py semantics):
+    key = (top 22 bits of splitmix64(id·K + seed)) << 40 | id (identical
+    to VertexWorker.match_init); per round, m1 = min unmatched-neighbor
+    key ⇒ candidate = id bits, then v pairs with its candidate iff the
+    min PROPOSER key (proposals run along u → cand(u) edges only) equals
+    m1 — the engine's membership-of-argmin equivalence."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ID_MOD = 1 << 40
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    parts = [
+        _GRAPH_CTES,
+        f""", mk0 AS (SELECT id,
+       (((id::HUGEINT * {K1} + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z
+       FROM verts),
+mk1 AS (SELECT id, {mulmod('xor(z, z >> 30)', C2)} AS z FROM mk0),
+mk2 AS (SELECT id, {mulmod('xor(z, z >> 27)', C3)} AS z FROM mk1),
+mkey AS MATERIALIZED (
+  SELECT id, ((xor(z, z >> 31) >> 42)::BIGINT * {ID_MOD}) + id AS key
+  FROM mk2),
+mt0 AS (SELECT id, -1 AS partner FROM verts)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", um{t} AS MATERIALIZED (
+  SELECT m.id, k.key FROM mt{t-1} m JOIN mkey k ON m.id = k.id
+  WHERE m.partner < 0
+), cc{t} AS MATERIALIZED (
+  SELECT u.id, u.key, min(k2.key) AS m1,
+         (min(k2.key) % {ID_MOD})::BIGINT AS cand
+  FROM um{t} u JOIN undb e ON e.src = u.id JOIN um{t} k2 ON k2.id = e.dst
+  GROUP BY u.id, u.key
+), m2{t} AS (
+  SELECT p.cand AS id, min(p.key) AS m2 FROM cc{t} p GROUP BY p.cand
+), mt{t} AS MATERIALIZED (
+  SELECT m.id, CASE WHEN m.partner >= 0 THEN m.partner
+                    WHEN x.m1 IS NOT NULL AND y.m2 = x.m1 THEN x.cand
+                    ELSE -1 END AS partner
+  FROM mt{t-1} m
+  LEFT JOIN cc{t} x ON m.id = x.id
+  LEFT JOIN m2{t} y ON m.id = y.id
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT id, partner AS match_with FROM mt{iters}"
     )
 
 
@@ -2491,10 +2568,11 @@ FROM cc{CC_ITERS}""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "vertex_structure": f"""
-SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis
+SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis, w.match_with
 FROM ({_kcore_sql(KC_ITERS)}) k
 JOIN ({_clustering_sql()}) c ON k.id = c.id
-JOIN ({_mis_sql(MIS_ITERS, MIS_SEED)}) m ON k.id = m.id""",
+JOIN ({_mis_sql(MIS_ITERS, MIS_SEED)}) m ON k.id = m.id
+JOIN ({_match_sql(MATCH_ITERS, MATCH_SEED)}) w ON k.id = w.id""",
         "bfs_harmonic": f"""
 SELECT b.id, b.dist, h.harmonic, h.closeness
 FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b

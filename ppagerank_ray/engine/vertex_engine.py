@@ -574,6 +574,96 @@ class _VertexWorker:
         st[joins] = 1
         return int(joins.sum())
 
+    # ---------- maximal matching (deterministic local-max handshake) ----------
+    # key(v) = (top MATCH_P_BITS of splitmix64(v·K + seed)) << MATCH_ID_BITS | v
+    # — unique (id in the low bits), always positive (62 bits), pseudo-random
+    # high-order comparison. A round is two min-exchanges: A) m1(v) = min key
+    # over UNMATCHED neighbors ⇒ candidate c(v) = id bits of m1; B) each
+    # unmatched u "proposes" along the single edge u→c(u); the receiver's
+    # min proposer key m2(v) equals m1(v) iff c(v) proposed back (proposer
+    # keys are a subset of neighbor keys, so min equality ⟺ membership of
+    # the overall argmin) — v pairs with c(v) exactly then, symmetrically.
+
+    MATCH_ID_BITS = 40
+    MATCH_P_BITS = 22
+
+    def match_init(self, seed: int):
+        from ppagerank_ray.algos.anf import splitmix64
+
+        assert int(self.vb[-1]) < (1 << self.MATCH_ID_BITS)
+        ids = np.arange(self.vlo, self.vhi, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids * np.uint64(0x100000001B3) + np.uint64(seed))
+        key = ((h >> np.uint64(64 - self.MATCH_P_BITS)) << np.uint64(
+            self.MATCH_ID_BITS
+        )) | ids
+        self.ivecs["match_key"] = key.astype(np.int64)
+        self.ivecs["partner"] = np.full(self.size, -1, dtype=np.int64)
+
+    def match_labels(self):
+        """Unmatched vertices advertise their key; matched the min-identity."""
+        unm = self.ivecs["partner"] < 0
+        self.ivecs["mlab"] = np.where(
+            unm, self.ivecs["match_key"], np.iinfo(np.int64).max
+        )
+
+    def match_cand_reduce(self, refs: list) -> int:
+        """m1 = min unmatched-neighbor key; candidate = its id bits.
+        Returns how many local vertices can still propose."""
+        imax = np.iinfo(np.int64).max
+        m1 = np.full(self.size, imax, dtype=np.int64)
+        uniq, mins = self._merge_min_partials(refs)
+        if uniq is not None:
+            m1[uniq] = mins
+        self.ivecs["m1"] = m1
+        eligible = (self.ivecs["partner"] < 0) & (m1 < imax)
+        cand = np.full(self.size, -1, dtype=np.int64)
+        cand[eligible] = m1[eligible] & ((1 << self.MATCH_ID_BITS) - 1)
+        self.ivecs["cand"] = cand
+        return int(eligible.sum())
+
+    def match_proposal_partials(self, mlab_parts: list, cand_parts: list,
+                                base_lo: int):
+        """Per destination partition: min key over PROPOSING edges only —
+        an edge u→v carries key(u) iff v is u's candidate. Same sparse
+        (uniq_local_dst, min) emission as cc_partials with the extra
+        per-edge candidate mask."""
+        imax = np.iinfo(np.int64).max
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        # distinct scratch keys — _gather reuses one buffer per key, so a
+        # second key="u" gather would overwrite the first's storage
+        mlab_full, base = self._gather(mlab_parts, base_lo, self.u_span, key="u")
+        cand_full, _ = self._gather(cand_parts, base_lo, self.u_span, key="ucand")
+        rel = self._rel("u", base)
+        vals = np.where(
+            cand_full[rel] == self.u_dst, mlab_full[rel], imax
+        )
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a or self.u_runs[q] is None:
+                out.append(None)
+                continue
+            starts, uniq_local = self.u_runs[q]
+            mins = np.minimum.reduceat(vals[a:b], starts)
+            out.append((uniq_local, mins))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def match_accept_reduce(self, refs: list) -> int:
+        """Pair v with its candidate iff the candidate proposed back
+        (min proposer key == m1). Returns newly matched count."""
+        imax = np.iinfo(np.int64).max
+        m2 = np.full(self.size, imax, dtype=np.int64)
+        uniq, mins = self._merge_min_partials(refs)
+        if uniq is not None:
+            m2[uniq] = mins
+        partner = self.ivecs["partner"]
+        m1 = self.ivecs["m1"]
+        hit = (partner < 0) & (m1 < imax) & (m2 == m1)
+        partner[hit] = self.ivecs["cand"][hit]
+        return int(hit.sum())
+
     def mis_remove_reduce(self, refs: list) -> tuple[int, int]:
         """Active vertices with a MIS neighbor (phase-2 min == 0) become
         removed. Returns (n_removed, n_still_active)."""
