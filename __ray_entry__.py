@@ -35,6 +35,8 @@ MIS_SEED = 7  # priority-hash seed for the maximal independent set
 MIS_ITERS = 16  # MIS rounds unrolled in SQL (4-6 at sf≤0.1; extras are fixpoint no-ops; the query asserts engine rounds ≤ this)
 MATCH_SEED = 13  # key-hash seed for the maximal matching
 MATCH_ITERS = 24  # handshake rounds unrolled in SQL (11-14 at sf≤0.1; the query asserts engine rounds ≤ this)
+COLOR_SEED = 17  # priority-hash seed for Jones-Plassmann coloring
+COLOR_ITERS = 24  # JP rounds unrolled in SQL (13 at sf≤0.1; the query asserts engine rounds ≤ this)
 BFS_SEED = 0
 HARM_SEEDS = 32  # sampled seeds for harmonic/betweenness estimators
 # common denominator for the EXACT integer harmonic numerator (Σ lcm/d):
@@ -918,11 +920,26 @@ def _q_matching(sf_dir: str) -> np.ndarray:
     return partner
 
 
+def _q_coloring(sf_dir: str) -> np.ndarray:
+    """Jones-Plassmann greedy coloring (algos/coloring.py) — returns the
+    0-based color per vertex aligned to id order."""
+    from ppagerank_ray.algos.coloring import greedy_coloring
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    info = greedy_coloring(eng, seed=COLOR_SEED)
+    col = eng.to_array("color", integer=True)
+    eng.shutdown()
+    assert info["rounds"] <= COLOR_ITERS, info
+    assert (col >= 0).all()
+    return col
+
+
 def _q_vertex_structure(sf_dir: str):
     """k-core number + per-vertex triangle count + local clustering
     coefficient + maximal-independent-set membership + maximal-matching
-    partner in one per-vertex table (round-4 consolidation of the old
-    kcore/clustering queries; every constituent pipeline still runs)."""
+    partner + Jones-Plassmann color in one per-vertex table (round-4
+    consolidation of the old kcore/clustering queries; every
+    constituent pipeline still runs)."""
     k = _q_kcore(sf_dir)
     c = _q_clustering(sf_dir)
     return (
@@ -931,6 +948,9 @@ def _q_vertex_structure(sf_dir: str):
         .append_column("in_mis", pa.array(_q_mis(sf_dir), type=pa.int64()))
         .append_column(
             "match_with", pa.array(_q_matching(sf_dir), type=pa.int64())
+        )
+        .append_column(
+            "color", pa.array(_q_coloring(sf_dir), type=pa.int64())
         )
     )
 
@@ -1718,6 +1738,71 @@ mt0 AS (SELECT id, -1 AS partner FROM verts)""",
         "WITH "
         + "".join(parts)
         + f"\nSELECT id, partner AS match_with FROM mt{iters}"
+    )
+
+
+def _color_sql(iters: int, seed: int) -> str:
+    """Jones-Plassmann coloring unrolled (algos/coloring.py semantics):
+    the MIS-style signed-clamped splitmix priority (same chain as
+    _mis_sql, coloring's seed), per round uncolored local minima take
+    the mex of colored-neighbor colors (mex searched over 0..deg)."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    IMAX = (1 << 63) - 1
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    parts = [
+        _GRAPH_CTES,
+        f""", cp0 AS (SELECT id,
+       (((id::HUGEINT * {K1} + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z
+       FROM verts),
+cp1 AS (SELECT id, {mulmod('xor(z, z >> 30)', C2)} AS z FROM cp0),
+cp2 AS (SELECT id, {mulmod('xor(z, z >> 27)', C3)} AS z FROM cp1),
+cpri AS MATERIALIZED (
+  SELECT id, CASE WHEN ps = {IMAX} THEN {IMAX - 1} ELSE ps END AS p FROM (
+    SELECT id, CASE WHEN z >= {1 << 63}::UBIGINT
+                    THEN ((z::HUGEINT) - {M}::HUGEINT)::BIGINT
+                    ELSE z::BIGINT END AS ps
+    FROM (SELECT id, xor(z, z >> 31) AS z FROM cp2))
+),
+st0 AS (SELECT id, -1 AS color FROM verts)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", uc{t} AS MATERIALIZED (
+  SELECT s.id, p.p FROM st{t-1} s JOIN cpri p ON s.id = p.id WHERE s.color < 0
+), sel{t} AS MATERIALIZED (
+  SELECT u.id FROM uc{t} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM undb e JOIN uc{t} w ON w.id = e.dst
+    WHERE e.src = u.id AND w.p < u.p)
+), ncol{t} AS MATERIALIZED (
+  SELECT e.src AS id, c2.color FROM undb e JOIN st{t-1} c2 ON c2.id = e.dst
+  WHERE c2.color >= 0
+), asg{t} AS MATERIALIZED (
+  -- mex = min of ({{0}} ∪ {{neighbor color + 1}}) not itself a neighbor color
+  SELECT c.id, min(c.c) AS color FROM (
+    SELECT id, 0 AS c FROM sel{t}
+    UNION
+    SELECT n.id, n.color + 1 AS c FROM ncol{t} n JOIN sel{t} s ON n.id = s.id
+  ) c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ncol{t} n2 WHERE n2.id = c.id AND n2.color = c.c)
+  GROUP BY c.id
+), st{t} AS MATERIALIZED (
+  SELECT s.id, coalesce(a.color, s.color) AS color
+  FROM st{t-1} s LEFT JOIN asg{t} a ON s.id = a.id
+)"""
+        )
+    return (
+        "WITH " + "".join(parts) + f"\nSELECT id, color FROM st{iters}"
     )
 
 
@@ -2568,11 +2653,12 @@ FROM cc{CC_ITERS}""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "vertex_structure": f"""
-SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis, w.match_with
+SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis, w.match_with, g.color
 FROM ({_kcore_sql(KC_ITERS)}) k
 JOIN ({_clustering_sql()}) c ON k.id = c.id
 JOIN ({_mis_sql(MIS_ITERS, MIS_SEED)}) m ON k.id = m.id
-JOIN ({_match_sql(MATCH_ITERS, MATCH_SEED)}) w ON k.id = w.id""",
+JOIN ({_match_sql(MATCH_ITERS, MATCH_SEED)}) w ON k.id = w.id
+JOIN ({_color_sql(COLOR_ITERS, COLOR_SEED)}) g ON k.id = g.id""",
         "bfs_harmonic": f"""
 SELECT b.id, b.dist, h.harmonic, h.closeness
 FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b

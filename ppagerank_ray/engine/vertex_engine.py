@@ -574,6 +574,91 @@ class _VertexWorker:
         st[joins] = 1
         return int(joins.sum())
 
+    # ---------- greedy graph coloring (Jones-Plassmann) ----------
+    # Uncolored local-priority-minima color themselves each round with the
+    # mex of their already-colored neighbors' colors. Selection reuses the
+    # MIS-style min exchange; neighbor color sets arrive as lp_partials
+    # histograms keyed (local_dst·(V+1) + color) with sentinel V marking
+    # uncolored senders.
+
+    def color_init(self, seed: int):
+        from ppagerank_ray.algos.anf import splitmix64
+
+        ids = np.arange(self.vlo, self.vhi, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(ids * np.uint64(0x100000001B3) + np.uint64(seed))
+        p = h.view(np.int64).copy()
+        imax = np.iinfo(np.int64).max
+        p[p == imax] = imax - 1
+        self.ivecs["color_p"] = p
+        self.ivecs["color"] = np.full(self.size, -1, dtype=np.int64)
+
+    def color_labels(self, phase: int, n_vertices: int = 0):
+        """Phase 1: uncolored advertise their priority (MAX otherwise);
+        phase 2: colored advertise their color, uncolored the sentinel
+        n_vertices (colors are < V, so the sentinel never collides)."""
+        col = self.ivecs["color"]
+        if phase == 1:
+            self.ivecs["mislab"] = np.where(
+                col < 0, self.ivecs["color_p"], np.iinfo(np.int64).max
+            )
+        else:
+            self.ivecs["mislab"] = np.where(col >= 0, col, np.int64(n_vertices))
+
+    def color_select_reduce(self, refs: list) -> int:
+        """Uncolored vertices beating the min over their UNCOLORED
+        neighbors are selected to color this round (independent set
+        among the uncolored by the strict unique-priority comparison)."""
+        imax = np.iinfo(np.int64).max
+        nbr_min = np.full(self.size, imax, dtype=np.int64)
+        uniq, mins = self._merge_min_partials(refs)
+        if uniq is not None:
+            nbr_min[uniq] = mins
+        sel = (self.ivecs["color"] < 0) & (self.ivecs["color_p"] < nbr_min)
+        self.ivecs["csel"] = sel.astype(np.int64)
+        return int(sel.sum())
+
+    def color_assign_reduce(self, refs: list, modulus: int) -> tuple[int, int]:
+        """Selected vertices take the mex of their colored neighbors'
+        colors, decoded from the merged lp-style histogram keys
+        (key = local_dst·modulus + color; color == modulus−1 is the
+        uncolored sentinel). Returns (n_assigned, n_still_uncolored)."""
+        keys_all = []
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        for pair in refs:
+            if pair is not None:
+                keys_all.append(pair[0])
+        col = self.ivecs["color"]
+        sel = self.ivecs["csel"] == 1
+        mex = np.zeros(self.size, dtype=np.int64)
+        if keys_all:
+            keys = np.unique(np.concatenate(keys_all))
+            dst_l = keys // modulus
+            c = keys % modulus
+            keep = c < (modulus - 1)  # drop the uncolored sentinel
+            dst_l, c = dst_l[keep], c[keep]
+            if len(dst_l):
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(np.diff(dst_l)) + 1]
+                )
+                lens = np.diff(np.concatenate([starts, [len(dst_l)]]))
+                rel = np.arange(len(dst_l)) - np.repeat(starts, lens)
+                # first position whose color ≠ its rank == the mex;
+                # all-match ⇒ mex = run length
+                miss = np.where(c != rel, rel, np.iinfo(np.int64).max)
+                first = np.minimum.reduceat(miss, starts)
+                seg_mex = np.where(
+                    first == np.iinfo(np.int64).max, lens, first
+                )
+                mex[dst_l[starts]] = seg_mex
+        col[sel] = mex[sel]
+        return int(sel.sum()), int((col < 0).sum())
+
     # ---------- maximal matching (deterministic local-max handshake) ----------
     # key(v) = (top MATCH_P_BITS of splitmix64(v·K + seed)) << MATCH_ID_BITS | v
     # — unique (id in the low bits), always positive (62 bits), pseudo-random
