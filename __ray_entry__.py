@@ -966,6 +966,8 @@ def _q_doc_stats(sf_dir: str):
 
     from ppagerank_ray.functions.textstats import repetition_stats
 
+    from ppagerank_ray.functions.textstats import dup_ngram_stats
+
     q = pa.concat_tables(
         [t for t in _ds_tables(_q_quality(sf_dir))]
     ).combine_chunks()
@@ -975,15 +977,23 @@ def _q_doc_stats(sf_dir: str):
     r = pa.concat_tables(
         list(_ds_tables(repetition_stats(_docs(sf_dir))))
     ).combine_chunks()
+    d = pa.concat_tables(
+        list(_ds_tables(dup_ngram_stats(_docs(sf_dir))))
+    ).combine_chunks()
     q = q.sort_by("doc_id")
     l = l.sort_by("doc_id")
     r = r.sort_by("doc_id")
+    d = d.sort_by("doc_id")
     assert pc.all(pc.equal(q["doc_id"], l["doc_id"])).as_py()
     assert pc.all(pc.equal(q["doc_id"], r["doc_id"])).as_py()
+    assert pc.all(pc.equal(q["doc_id"], d["doc_id"])).as_py()
     out = q.append_column("lang_pred", l["lang_pred"])
     for name in r.column_names:
         if name != "doc_id":
             out = out.append_column(name, r[name])
+    for name in d.column_names:
+        if name != "doc_id":
+            out = out.append_column(name, d[name])
     return out
 
 
@@ -2773,6 +2783,23 @@ rep3 AS (
   SELECT doc_id, sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_distinct,
          max(cnt)::BIGINT AS top
   FROM gc3 GROUP BY doc_id
+),
+-- corpus-wide duplicate word-3-gram spans (functions/textstats.py
+-- dup_ngram_stats): md5-keyed grams WITH multiplicity, a position is
+-- duplicated iff its gram occurs >= 2 times across the whole corpus
+dkey AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT AS key FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - 2),
+                                 i -> array_to_string(tk[i:i+2], ' '))) AS gram
+    FROM tokd WHERE len(tk) >= 3)
+),
+dcnt AS (SELECT key, count(*)::BIGINT AS cn FROM dkey GROUP BY key),
+ddoc AS (
+  SELECT k.doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN c.cn >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
+  FROM dkey k JOIN dcnt c ON k.key = c.key GROUP BY k.doc_id
 )
 SELECT q.doc_id, q.n_chars_text, q.n_tokens, q.n_stopwords, q.n_punct,
        q.stop_ratio,
@@ -2795,10 +2822,16 @@ SELECT q.doc_id, q.n_chars_text, q.n_tokens, q.n_stopwords, q.n_punct,
             ELSE 0.0 END AS trigram_dup_frac,
        CASE WHEN coalesce(r3.total, 0) > 0
             THEN floor(r3.top::DOUBLE / r3.total * 1000000.0 + 0.5) / 1000000.0
-            ELSE 0.0 END AS trigram_top_frac
+            ELSE 0.0 END AS trigram_top_frac,
+       coalesce(dd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(dd.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       CASE WHEN coalesce(dd.n_grams, 0) > 0
+            THEN floor(dd.n_dup_grams::DOUBLE / dd.n_grams * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS dup_gram_frac
 FROM q JOIN scored s ON q.doc_id = s.doc_id
 LEFT JOIN rep2 r2 ON q.doc_id = r2.doc_id
-LEFT JOIN rep3 r3 ON q.doc_id = r3.doc_id""",
+LEFT JOIN rep3 r3 ON q.doc_id = r3.doc_id
+LEFT JOIN ddoc dd ON q.doc_id = dd.doc_id""",
         # full vocabulary: term frequency + document frequency — round-4
         # consolidation of top_terms/term_doc_freq (no top-k cut)
         "vocabulary": f"""

@@ -607,3 +607,181 @@ def token_quantiles(docs: rd.Dataset) -> pa.Table:
             },
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate word-n-gram spans (exact-substring-dedup primitive)
+# ---------------------------------------------------------------------------
+
+DUP_NGRAM_N = 3  # word-n-gram size for duplicate-span statistics
+DUP_BROADCAST_MAX_KEYS = 5_000_000  # dup-key set broadcast gate
+
+
+def _gram_keys(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """int64 md5-keys of each doc's word-n-grams WITH multiplicity.
+    Returns (keys, offsets); key = first 15 hex chars of
+    md5(tok[i] ' ' ... ' ' tok[i+n-1]) — 60 bits, positive, and
+    reproducible verbatim in DuckDB ('0x' || substr(md5(g), 1, 15))."""
+    import hashlib
+
+    keys, counts = [], np.empty(len(texts), np.int64)
+    for i, x in enumerate(texts):
+        toks = _tokens(x)
+        m = max(len(toks) - n + 1, 0)
+        counts[i] = m
+        for j in range(m):
+            g = " ".join(toks[j : j + n])
+            keys.append(int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return np.asarray(keys, dtype=np.int64), offsets
+
+
+def dup_gram_count_partials(t: pa.Table, n: int = DUP_NGRAM_N) -> pa.Table:
+    """Per-batch (key, count) combiner over gram keys — only the gram
+    hash histogram shuffles, never the token stream (term_count_partials
+    shape)."""
+    keys, _ = _gram_keys(t["text"].to_pylist(), n)
+    uk, cnt = np.unique(keys, return_counts=True)
+    return pa.Table.from_pydict({"key": uk, "n": cnt.astype(np.int64)})
+
+
+def dup_ngram_stats(
+    docs: rd.Dataset, n: int = DUP_NGRAM_N, max_broadcast_keys: int = 0
+) -> rd.Dataset:
+    """Per-document duplicate-n-gram statistics — the MassiveText /
+    Lee et al. ("Deduplicating Training Data Makes Language Models
+    Better", ACL 2022) exact-substring-dedup primitive at word-n-gram
+    granularity: a gram position is duplicated iff its gram occurs ≥ 2
+    times corpus-wide (within-doc repeats included).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_gram_frac) with the
+    fraction rounded by the repo's floor-half-up 1e-6 rule.
+
+    Pass 1 aggregates the gram-key histogram (per-batch np.unique
+    combiners → one histogram-sized groupby) and keeps keys with count
+    ≥ 2; the dup-key set is broadcast via ray.put below
+    DUP_BROADCAST_MAX_KEYS (duplicate vocabularies are sublinear in
+    corpus size) and joined via the bucketed hash join above it —
+    the TFIDF gate pattern. Pass 2 re-streams the documents and counts
+    gram positions whose key is in the set (sorted-array searchsorted
+    membership, vectorized per batch)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    gate = max_broadcast_keys or DUP_BROADCAST_MAX_KEYS
+    hist = (
+        docs.select_columns(["text"])
+        .map_batches(
+            lambda t: dup_gram_count_partials(t, n),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    dup_ds = hist.filter(expr="n >= 2").select_columns(["key"])
+    n_dup_keys = dup_ds.count()
+
+    def _finalize(ids, n_grams: np.ndarray, n_dup: np.ndarray) -> pa.Table:
+        frac = np.zeros(len(n_grams), np.float64)
+        nz = n_grams > 0
+        frac[nz] = _round6_half_up(n_dup[nz] / n_grams[nz])
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_grams": n_grams,
+                "n_dup_grams": n_dup,
+                "dup_gram_frac": frac,
+            }
+        )
+
+    def stats_with_membership(t: pa.Table, member) -> pa.Table:
+        keys, offs = _gram_keys(t["text"].to_pylist(), n)
+        hit = member(keys).astype(np.int64)
+        n_grams = np.diff(offs)
+        if len(hit) == 0:
+            n_dup = np.zeros(len(n_grams), np.int64)
+        else:
+            # reduceat returns hit[idx] (not 0) for empty segments and
+            # rejects idx == len — clamp, then zero the empty docs
+            idx = np.minimum(offs[:-1], len(hit) - 1)
+            n_dup = np.add.reduceat(hit, idx) * (n_grams > 0)
+        return _finalize(t["doc_id"], n_grams, n_dup)
+
+    if n_dup_keys <= gate:
+        dupt = pa.concat_tables(
+            [b for b in ray.get(dup_ds.to_arrow_refs()) if b.num_rows]
+        )
+        dup_sorted = np.sort(dupt["key"].to_numpy()) if dupt.num_rows else np.empty(0, np.int64)
+        dup_ref = ray.put(dup_sorted)
+
+        def member_bcast(keys: np.ndarray) -> np.ndarray:
+            ds = ray.get(dup_ref)
+            if len(ds) == 0 or len(keys) == 0:
+                return np.zeros(len(keys), bool)
+            pos = np.searchsorted(ds, keys)
+            pos[pos >= len(ds)] = len(ds) - 1
+            return ds[pos] == keys
+
+        return docs.select_columns(["doc_id", "text"]).map_batches(
+            lambda t: stats_with_membership(t, member_bcast),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+
+    # join path (above the gate): explode (doc_id, key) gram rows,
+    # hash-join against the dup keys, count per doc, then LEFT hash-join
+    # the counts back onto the streamed per-doc gram totals — every step
+    # a Dataset op, nothing doc-scale touches the driver
+    from ppagerank_ray.ops.joins import hash_join
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        keys, offs = _gram_keys(t["text"].to_pylist(), n)
+        ids = np.repeat(t["doc_id"].to_numpy(), np.diff(offs))
+        return pa.Table.from_pydict({"doc_id": ids, "key": keys})
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        gram_rows, batch_format="pyarrow", batch_size=8192
+    )
+    dup_counts = (
+        hash_join(rows, dup_ds, "key", "key")
+        .groupby("doc_id")
+        .count()
+        .map_batches(
+            # pandas-block groupby output → Arrow blocks + a stable name
+            lambda t: pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                    "n_dup": t["count()"].to_numpy().astype(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def gram_totals(t: pa.Table) -> pa.Table:
+        ng = np.fromiter(
+            (
+                max(len(_tokens(x)) - n + 1, 0)
+                for x in t["text"].to_pylist()
+            ),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return pa.Table.from_pydict({"doc_id": t["doc_id"], "n_grams": ng})
+
+    base = docs.select_columns(["doc_id", "text"]).map_batches(
+        gram_totals, batch_format="pyarrow", batch_size=8192
+    )
+    joined = hash_join(base, dup_counts, "doc_id", "doc_id", how="left")
+
+    def stats_joined(t: pa.Table) -> pa.Table:
+        n_grams = t["n_grams"].to_numpy()
+        n_dup = t["n_dup"].to_numpy(zero_copy_only=False)
+        n_dup = np.nan_to_num(
+            n_dup.astype(np.float64), nan=0.0
+        ).astype(np.int64)
+        return _finalize(t["doc_id"], n_grams, n_dup)
+
+    return joined.map_batches(stats_joined, batch_format="pyarrow")

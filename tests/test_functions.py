@@ -909,3 +909,45 @@ def test_pii_redaction_hand_cases():
     assert out["redacted_fp"].tolist() == fps
     # clean doc keeps its original fingerprint
     assert out["redacted_fp"][3] == hashlib.md5(rows["text"][3].encode()).hexdigest()
+
+
+def test_dup_ngram_stats_matches_bruteforce_both_paths():
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ppagerank_ray.functions.textstats import _tokens, dup_ngram_stats
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(0, 12)).tolist())
+        for _ in range(60)
+    ]
+    texts[7] = ""  # empty doc
+    texts[9] = "aa bb"  # fewer than n tokens
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": np.arange(60, dtype=np.int64), "text": texts}
+        )
+    )
+    n = 3
+    grams = []
+    for x in texts:
+        toks = _tokens(x)
+        grams.append(
+            [" ".join(toks[j : j + n]) for j in range(max(len(toks) - n + 1, 0))]
+        )
+    cnt = Counter(g for gs in grams for g in gs)
+    exp_dup = [sum(1 for g in gs if cnt[g] >= 2) for gs in grams]
+    exp_tot = [len(gs) for gs in grams]
+    for kw in ({}, {"max_broadcast_keys": 1}):  # broadcast, forced join
+        out = (
+            dup_ngram_stats(docs, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_grams"].tolist() == exp_tot
+        assert out["n_dup_grams"].tolist() == exp_dup
+        assert (out.loc[out["n_grams"] == 0, "dup_gram_frac"] == 0).all()
