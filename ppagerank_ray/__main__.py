@@ -74,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="format hint (-mhint in the reference)")
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles",
-                             "kcore", "bfs", "scc", "hosts", "walks"])
+                             "kcore", "bfs", "scc", "hosts", "walks",
+                             "mis", "matching", "coloring"])
     ap.add_argument("--seed", type=int, default=0,
                     help="BFS source vertex id (--algo bfs) / walk PRNG "
                     "seed (--algo walks)")
@@ -218,7 +219,8 @@ def main(argv: list[str] | None = None) -> int:
             summary.update({k: info[k] for k in ("iteration", "residual_l1", "converged")})
             summary["output"] = eng.write_result_partitioned(args.out, "x", "score")
         eng.shutdown()
-    elif args.algo in ("components", "labelprop", "kcore", "bfs"):
+    elif args.algo in ("components", "labelprop", "kcore", "bfs",
+                       "mis", "matching", "coloring"):
         eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads,
                            wrows=args.wrows, wnnz=args.wnnz)
         eng.load_undirected(build_undirected(gt.edges), presorted=True)
@@ -233,6 +235,21 @@ def main(argv: list[str] | None = None) -> int:
 
             info = kcore_decomposition(eng)
             vec, colname = "core", "core"
+        elif args.algo == "mis":
+            from ppagerank_ray.algos.mis import maximal_independent_set
+
+            info = maximal_independent_set(eng, seed=args.seed or 7)
+            vec, colname = "mis_status", "mis_status"
+        elif args.algo == "matching":
+            from ppagerank_ray.algos.matching import maximal_matching
+
+            info = maximal_matching(eng, seed=args.seed or 13)
+            vec, colname = "partner", "match_with"
+        elif args.algo == "coloring":
+            from ppagerank_ray.algos.coloring import greedy_coloring
+
+            info = greedy_coloring(eng, seed=args.seed or 17)
+            vec, colname = "color", "color"
         else:  # bfs
             from ppagerank_ray.algos.structure import bfs_distances
 
