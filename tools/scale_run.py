@@ -151,6 +151,35 @@ def main() -> None:
         eng.shutdown()
         emit(rec)
 
+    if "greedy" in phases:
+        # round-4 greedy trio (MIS / local-max matching / Jones-Plassmann
+        # coloring) on the formula graph at `pages` scale: the evidence
+        # is the ROUND COUNT staying O(log n) while per-round cost stays
+        # one (or two) sparse min-exchanges
+        from ppagerank_ray.algos.coloring import greedy_coloring
+        from ppagerank_ray.algos.matching import maximal_matching
+        from ppagerank_ray.algos.mis import maximal_independent_set
+
+        nv = n_vertices_for(pages)
+        und = build_undirected(synth_edges(pages, parallelism=ncpu * 4))
+        geng = VertexEngine(nv, num_partitions=P, n_threads=T)
+        t0 = time.time()
+        n_und = geng.load_undirected(und, presorted=True)
+        load_sec = round(time.time() - t0, 1)
+        for name, fn in (
+            ("mis", maximal_independent_set),
+            ("matching", maximal_matching),
+            ("coloring", greedy_coloring),
+        ):
+            rec = {"phase": f"greedy_{name}", "pages": pages,
+                   "und_edges": n_und, "load_sec": load_sec}
+            t0 = time.time()
+            info = fn(geng)
+            rec["sec"] = round(time.time() - t0, 1)
+            rec.update({k: v for k, v in info.items() if k != "algorithm"})
+            emit(rec)
+        geng.shutdown()
+
     if "signatures" in phases:
         # 10× the bench's minhash_text phase: band signatures over
         # replicate//2 × the synthetic page corpus (bench: 300k texts at
