@@ -155,7 +155,43 @@ def _q_vertices(sf_dir: str):
 
 
 def _q_edges(sf_dir: str):
-    return _graph(sf_dir).edges.select_columns(["src", "dst"])
+    """Edge table + the deterministic Bernoulli sampling decision as an
+    `in_sample` flag (round-4 session-2 consolidation of the old
+    `sampled_edges` query: the flag checks the splitmix64 keep decision
+    on EVERY edge — strictly more coverage than the filtered subset;
+    `graph/build.sample_edges`'s filter is equivalence-tested against
+    the flag in tests/test_graph_build.py)."""
+    from ppagerank_ray.algos.anf import splitmix64
+
+    K = np.uint64(0x100000001B3)
+    thresh = np.uint64(
+        min(int(SAMPLE_FRACTION * (1 << 64)), (1 << 64) - 1)
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_pydict(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "in_sample": pa.array([], pa.int64()),
+                }
+            )
+        with np.errstate(over="ignore"):
+            h = splitmix64(
+                t["src"].to_numpy().astype(np.uint64) * K
+                + t["dst"].to_numpy().astype(np.uint64)
+                + np.uint64(SAMPLE_SEED)
+            )
+        return t.append_column(
+            "in_sample", pa.array((h < thresh).astype(np.int64))
+        )
+
+    return (
+        _graph(sf_dir)
+        .edges.select_columns(["src", "dst"])
+        .map_batches(flag, batch_format="pyarrow")
+    )
 
 
 def _outdeg_array(sf_dir: str) -> np.ndarray:
@@ -778,6 +814,96 @@ s2 AS (SELECT src, dst, {mulmod('xor(z, z >> 27)', C3)} AS z FROM s1)
 SELECT src, dst FROM s2 WHERE xor(z, z >> 31) < {thresh}::UBIGINT"""
 
 
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Exact integer-quantized Lloyd k-means unrolled
+    (functions/clustering.py semantics): quantize floor(x·1e6+0.5),
+    farthest-first init (max min-d2, ties → smallest vec_id), integer
+    distances, ties → smallest cluster, floor-of-mean centroid updates,
+    empty clusters keep their centroid; one final assignment."""
+    parts = [
+        """eq AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings),
+ch1 AS (SELECT min(vec_id) AS vid, 0::BIGINT AS c FROM embeddings)""",
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f""", md{j} AS MATERIALIZED (
+  SELECT vec_id, min(d2) AS best FROM (
+    SELECT a2.vec_id, ch.vid,
+           sum((a2.v - b.v) * (a2.v - b.v)) AS d2
+    FROM eq a2 CROSS JOIN ch{j-1} ch
+    JOIN eq b ON b.vec_id = ch.vid AND b.d = a2.d
+    GROUP BY a2.vec_id, ch.vid)
+  GROUP BY vec_id
+), ch{j} AS (
+  SELECT vid, c FROM ch{j-1}
+  UNION ALL
+  (SELECT vec_id AS vid, {j-1}::BIGINT AS c FROM md{j}
+   ORDER BY best DESC, vec_id LIMIT 1)
+)"""
+        )
+    parts.append(
+        f""", cent0 AS MATERIALIZED (
+  SELECT ch.c, e.d, e.v AS val FROM ch{k} ch JOIN eq e ON e.vec_id = ch.vid)"""
+    )
+    for t in range(1, iters + 2):
+        parts.append(
+            f""", dist{t} AS MATERIALIZED (
+  SELECT e.vec_id, ct.c, sum((e.v - ct.val) * (e.v - ct.val)) AS d2
+  FROM eq e JOIN cent{t-1} ct ON e.d = ct.d GROUP BY e.vec_id, ct.c
+), asn{t} AS MATERIALIZED (
+  SELECT vec_id, c, d2 FROM (
+    SELECT vec_id, c, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+    FROM dist{t}) WHERE rn = 1
+)"""
+        )
+        if t <= iters:
+            parts.append(
+                f""", cent{t} AS MATERIALIZED (
+  SELECT p.c, p.d, coalesce(u.val, p.val) AS val
+  FROM cent{t-1} p LEFT JOIN (
+    SELECT a.c, e.d,
+           CAST(floor(sum(e.v)::DOUBLE / count(*)) AS BIGINT) AS val
+    FROM asn{t} a JOIN eq e ON a.vec_id = e.vec_id GROUP BY a.c, e.d) u
+  ON p.c = u.c AND p.d = u.d
+)"""
+            )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT vec_id, c AS cluster, d2 FROM asn{iters + 1}"
+    )
+
+
+def _sample_flag_sql(fraction: float, seed: int) -> str:
+    """The _sample_sql splitmix chain emitted as a per-edge 0/1
+    `in_sample` column instead of a filter (edges-query consolidation)."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    thresh = min(int(fraction * M), M - 1)
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    return f"""WITH {_GRAPH_CTES},
+f0 AS (SELECT src, dst,
+       (((src::HUGEINT * {K1} + dst + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z
+       FROM edges),
+f1 AS (SELECT src, dst, {mulmod('xor(z, z >> 30)', C2)} AS z FROM f0),
+f2 AS (SELECT src, dst, {mulmod('xor(z, z >> 27)', C3)} AS z FROM f1)
+SELECT src, dst,
+       CASE WHEN xor(z, z >> 31) < {thresh}::UBIGINT THEN 1 ELSE 0 END::BIGINT AS in_sample
+FROM f2"""
+
+
 def _curation_sql() -> str:
     """curation_scores oracle: weight = floor-half-up(score6·ratio6), then
     the weighted-Bernoulli keep decision replayed with the same splitmix64
@@ -1305,6 +1431,14 @@ def _q_knn(sf_dir: str):
     return knn_bruteforce(_emb(sf_dir), KNN_QUERY_IDS, k=KNN_K)
 
 
+def _q_kmeans(sf_dir: str):
+    """Exact integer-quantized Lloyd k-means (functions/clustering.py):
+    deterministic end-to-end, replayed verbatim by _kmeans_sql."""
+    from ppagerank_ray.functions.clustering import kmeans_exact
+
+    return kmeans_exact(_emb(sf_dir))
+
+
 def _q_emb_near_dup(sf_dir: str):
     from ppagerank_ray.functions.similarity import near_dup_embeddings
 
@@ -1557,7 +1691,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "node2vec_walks": _q_node2vec_walks,
-        "sampled_edges": _q_sampled_edges,
         "runscript": _q_runscript,
         # convergence-driven / approximate (rows-only; pytest conformance)
         "pagerank_solvers": _q_pagerank_solvers,  # power/inout/arnoldi @tol
@@ -1578,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_candidates": _q_minhash_candidates,
         # embeddings: similarity search
         "embedding_knn": _q_knn,
+        "embedding_kmeans": _q_kmeans,  # exact integer Lloyd (r4)
         "embedding_near_dup": _q_emb_near_dup,
         "ann_methods": _q_ann_methods,  # lsh + ivf (rows-only, recall-tested)
         # multimodal + events
@@ -2599,7 +2733,9 @@ SELECT printf('https://pages.example/p/%08d', doc_id) AS url,
 FROM documents""",
         "text_invariant": "SELECT count(*)::BIGINT AS n_pages, 0::BIGINT AS n_mismatch FROM documents",
         "vertices": f"WITH {_GRAPH_CTES} SELECT id, url FROM verts",
-        "edges": f"WITH {_GRAPH_CTES} SELECT src, dst FROM edges",
+        # edges + the Bernoulli keep decision per edge (the old
+        # sampled_edges oracle's splitmix chain emitted as a flag)
+        "edges": _sample_flag_sql(SAMPLE_FRACTION, SAMPLE_SEED),
         "outdegree": f"""WITH {_GRAPH_CTES}
 SELECT id, outdeg, (outdeg = 0)::BIGINT AS is_dangling FROM outdeg_all""",
         "matrix_stats": f"""WITH {_GRAPH_CTES}
@@ -2696,7 +2832,6 @@ FROM ({mass_by_host_sql}) m
 JOIN ({_host_pagerank_sql(PR_ITERS)}) h ON m.host = h.host""",
         "random_walks": _walks_sql(WALK_LEN, seed=0),
         "node2vec_walks": _node2vec_sql(WALK_LEN, p=0.5, q=2.0, seed=0),
-        "sampled_edges": _sample_sql(SAMPLE_FRACTION, SAMPLE_SEED),
         "skipgram_pairs": f"""WITH corpus AS ({_walks_sql(WALK_LEN, seed=0)})
 SELECT a.vertex AS center, b.vertex AS context, count(*)::BIGINT AS n
 FROM corpus a JOIN corpus b
@@ -2994,6 +3129,9 @@ FROM common JOIN shcnt ca ON a = ca.doc_id JOIN shcnt cb ON b = cb.doc_id
 WHERE inter / (ca.c + cb.c - inter)::DOUBLE >= {JACCARD_T}""",
         "minhash_candidates": _minhash_candidates_sql(),
         "near_dup_dedup": _near_dup_dedup_sql(),
+        # exact integer-quantized Lloyd k-means — farthest-first init,
+        # integer distances, floor-of-mean updates, all replayed verbatim
+        "embedding_kmeans": _kmeans_sql(8, 5),
         "embedding_knn": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id IN ({", ".join(map(str, KNN_QUERY_IDS))})),

@@ -4,6 +4,7 @@ import itertools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 import ray.data as rd
 
@@ -951,3 +952,43 @@ def test_dup_ngram_stats_matches_bruteforce_both_paths():
         assert out["n_grams"].tolist() == exp_tot
         assert out["n_dup_grams"].tolist() == exp_dup
         assert (out.loc[out["n_grams"] == 0, "dup_gram_frac"] == 0).all()
+
+
+def test_kmeans_exact_matches_reference_and_partitioning(sf_small):
+    """Integer-quantized Lloyd: bit-identical to a sequential numpy
+    replay of the same rules (farthest-first init, integer distances,
+    floor-of-mean updates) and invariant to input partitioning."""
+    import ray.data as rd
+
+    from ppagerank_ray.functions.clustering import (
+        _assign,
+        _quantize,
+        kmeans_exact,
+    )
+
+    emb = rd.read_parquet(
+        f"{sf_small}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = kmeans_exact(emb, k=4, iters=3).to_pandas()
+    out17 = kmeans_exact(emb.repartition(17), k=4, iters=3).to_pandas()
+    assert out.equals(out17)
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    Xq = _quantize(X)
+    C = Xq[:1].copy()
+    while len(C) < 4:
+        _, d2 = _assign(Xq, C)
+        C = np.vstack([C, Xq[np.lexsort((ids, -d2))[0]]])
+    for _ in range(3):
+        a, _ = _assign(Xq, C)
+        for c in range(4):
+            m = a == c
+            if m.sum():
+                C[c] = np.floor_divide(Xq[m].sum(axis=0), m.sum())
+    a, d2 = _assign(Xq, C)
+    assert (out["cluster"].to_numpy() == a).all()
+    assert (out["d2"].to_numpy() == d2).all()

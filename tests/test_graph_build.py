@@ -205,3 +205,26 @@ def test_sample_edges_deterministic_and_calibrated():
     assert not a.equals(
         c.sort_values(["src", "dst"]).reset_index(drop=True)
     )  # seed changes the sample
+
+
+def test_sample_edges_filter_equals_in_sample_flag(sf_tiny):
+    """graph/build.sample_edges' filtered subset must equal the rows the
+    edges query flags with in_sample=1 (the round-4 registry
+    consolidation replaced the sampled_edges query with that flag)."""
+    import __ray_entry__ as entry
+    from ppagerank_ray.graph.build import sample_edges
+
+    flagged = entry._q_edges(sf_tiny).to_pandas()
+    filtered = sample_edges(
+        entry._graph(sf_tiny).edges,
+        entry.SAMPLE_FRACTION,
+        seed=entry.SAMPLE_SEED,
+    ).to_pandas()
+    keep = (
+        flagged[flagged["in_sample"] == 1][["src", "dst"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    filt = filtered.sort_values(["src", "dst"]).reset_index(drop=True)
+    assert keep.equals(filt)
+    assert 0 < len(filt) < len(flagged)
