@@ -814,6 +814,89 @@ s2 AS (SELECT src, dst, {mulmod('xor(z, z >> 27)', C3)} AS z FROM s1)
 SELECT src, dst FROM s2 WHERE xor(z, z >> 31) < {thresh}::UBIGINT"""
 
 
+WL_ITERS = 3  # WL refinement rounds (fixed — the query runs the same)
+
+
+def _wl_sql(iters: int) -> str:
+    """Weisfeiler-Leman color refinement unrolled (algos/wl.py
+    semantics): per round, x_i = splitmix64(label_u·K3 + count) over the
+    SIGNED-sorted neighbor (label, count) multiset, folded as
+    Σ x_i·COEF^(m−1−i) mod 2^64, then new = splitmix64(old_u·K2 + H).
+    All uint64 wrap arithmetic via the HUGEINT mulmod idiom; colors are
+    carried as BIGINT (the engine's int64 view) so ORDER BY matches
+    numpy's signed lexsort."""
+    M = 1 << 64
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    COEF = 0x100000001B3
+    K2, K3 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+
+    def mulmod(z: str, C) -> str:
+        if isinstance(C, int):
+            hi, lo = C >> 32, C & 0xFFFFFFFF
+            return (
+                f"((({z}::HUGEINT * {lo}) % {M}"
+                f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+            )
+        # variable × variable (pows step): split the VARIABLE multiplier
+        return (
+            f"((({z}::HUGEINT * ({C} % 4294967296)) % {M}"
+            f" + ((({z}::HUGEINT * ({C} // 4294967296)) % 4294967296)"
+            f" * 4294967296)) % {M})::UBIGINT"
+        )
+
+    unsig = lambda c: f"(({c}::HUGEINT % {M} + {M}) % {M})::UBIGINT"
+    sig = (
+        lambda z: f"CASE WHEN {z} >= {1 << 63}::UBIGINT"
+        f" THEN (({z}::HUGEINT) - {M}::HUGEINT)::BIGINT ELSE {z}::BIGINT END"
+    )
+
+    parts = [
+        f"""{_GRAPH_CTES},
+wlmaxd AS (SELECT max(c)::BIGINT AS md FROM
+  (SELECT src, count(*) AS c FROM undb GROUP BY src)),
+pows(j, v) AS (
+  SELECT 0::BIGINT, 1::UBIGINT
+  UNION ALL
+  SELECT j + 1, {mulmod('v', COEF)} FROM pows WHERE j < (SELECT md FROM wlmaxd)
+),
+wl0 AS (SELECT id, 1::BIGINT AS col FROM verts)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", nb{t} AS MATERIALIZED (
+  SELECT e.src AS id, w.col AS l, count(*)::BIGINT AS cnt
+  FROM undb e JOIN wl{t-1} w ON w.id = e.dst GROUP BY e.src, w.col
+), seq{t} AS (
+  SELECT id, l, cnt, row_number() OVER (PARTITION BY id ORDER BY l) - 1 AS pos,
+         count(*) OVER (PARTITION BY id) AS m
+  FROM nb{t}
+), xa{t} AS (SELECT id, pos, m,
+  (({mulmod(unsig('l'), K3)}::HUGEINT + cnt + {C1}) % {M})::UBIGINT AS z
+  FROM seq{t}
+), xb{t} AS (SELECT id, pos, m, {mulmod('xor(z, z >> 30)', C2)} AS z FROM xa{t}
+), xc{t} AS (SELECT id, pos, m, {mulmod('xor(z, z >> 27)', C3)} AS z FROM xb{t}
+), ct{t} AS (
+  SELECT x.id, {mulmod('xor(x.z, x.z >> 31)', 'p.v')} AS contrib
+  FROM xc{t} x JOIN pows p ON p.j = x.m - 1 - x.pos
+), hs{t} AS (
+  SELECT id, (sum(contrib::HUGEINT) % {M})::UBIGINT AS h FROM ct{t} GROUP BY id
+), ra{t} AS (
+  SELECT o.id,
+    (({mulmod(unsig('o.col'), K2)}::HUGEINT + coalesce(h.h, 0) + {C1}) % {M})::UBIGINT AS z
+  FROM wl{t-1} o LEFT JOIN hs{t} h ON o.id = h.id
+), rb{t} AS (SELECT id, {mulmod('xor(z, z >> 30)', C2)} AS z FROM ra{t}
+), rc{t} AS (SELECT id, {mulmod('xor(z, z >> 27)', C3)} AS z FROM rb{t}
+), wl{t} AS MATERIALIZED (
+  SELECT id, {sig('xor(z, z >> 31)')} AS col FROM rc{t}
+)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + "".join(parts)
+        + f"\nSELECT id, col AS wl_color FROM wl{iters}"
+    )
+
+
 def _kmeans_sql(k: int, iters: int) -> str:
     """Exact integer-quantized Lloyd k-means unrolled
     (functions/clustering.py semantics): quantize floor(x·1e6+0.5),
@@ -1060,12 +1143,24 @@ def _q_coloring(sf_dir: str) -> np.ndarray:
     return col
 
 
+def _q_wl(sf_dir: str) -> np.ndarray:
+    """Weisfeiler-Leman refinement colors (algos/wl.py), WL_ITERS
+    rounds, aligned to vertex id order."""
+    from ppagerank_ray.algos.wl import wl_refinement
+
+    eng, gt = _engine(sf_dir, directed=False, undirected=True)
+    wl_refinement(eng, rounds=WL_ITERS)
+    col = eng.to_array("wl", integer=True)
+    eng.shutdown()
+    return col
+
+
 def _q_vertex_structure(sf_dir: str):
     """k-core number + per-vertex triangle count + local clustering
     coefficient + maximal-independent-set membership + maximal-matching
-    partner + Jones-Plassmann color in one per-vertex table (round-4
-    consolidation of the old kcore/clustering queries; every
-    constituent pipeline still runs)."""
+    partner + Jones-Plassmann color + Weisfeiler-Leman refinement color
+    in one per-vertex table (round-4 consolidation of the old
+    kcore/clustering queries; every constituent pipeline still runs)."""
     k = _q_kcore(sf_dir)
     c = _q_clustering(sf_dir)
     return (
@@ -1077,6 +1172,9 @@ def _q_vertex_structure(sf_dir: str):
         )
         .append_column(
             "color", pa.array(_q_coloring(sf_dir), type=pa.int64())
+        )
+        .append_column(
+            "wl_color", pa.array(_q_wl(sf_dir), type=pa.int64())
         )
     )
 
@@ -2799,12 +2897,14 @@ FROM cc{CC_ITERS}""",
         ),
         "label_propagation": _lp_sql(LP_ITERS),
         "vertex_structure": f"""
-SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis, w.match_with, g.color
+SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis, w.match_with,
+       g.color, q.wl_color
 FROM ({_kcore_sql(KC_ITERS)}) k
 JOIN ({_clustering_sql()}) c ON k.id = c.id
 JOIN ({_mis_sql(MIS_ITERS, MIS_SEED)}) m ON k.id = m.id
 JOIN ({_match_sql(MATCH_ITERS, MATCH_SEED)}) w ON k.id = w.id
-JOIN ({_color_sql(COLOR_ITERS, COLOR_SEED)}) g ON k.id = g.id""",
+JOIN ({_color_sql(COLOR_ITERS, COLOR_SEED)}) g ON k.id = g.id
+JOIN ({_wl_sql(WL_ITERS)}) q ON k.id = q.id""",
         "bfs_harmonic": f"""
 SELECT b.id, b.dist, h.harmonic, h.closeness
 FROM ({_bfs_sql(BFS_ITERS, BFS_SEED)}) b

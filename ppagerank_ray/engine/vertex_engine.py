@@ -574,6 +574,105 @@ class _VertexWorker:
         st[joins] = 1
         return int(joins.sum())
 
+    # ---------- Weisfeiler-Leman color refinement ----------
+    # Round: new(v) = splitmix64(old(v)·K2 + H(v)) where H(v) is an
+    # order-canonical polynomial hash of the SORTED neighbor (label,
+    # count) multiset — Σ x_i · COEF^(m−1−i) mod 2^64 with
+    # x_i = splitmix64(label_i·K3 + count_i). Everything is uint64
+    # wrap-around arithmetic, replayed verbatim in the SQL oracle; a
+    # hash collision merges colors identically on both sides, so oracle
+    # parity survives even the 2^-64 case.
+
+    WL_COEF = np.uint64(0x100000001B3)
+    WL_K2 = np.uint64(0x9E3779B97F4A7C15)
+    WL_K3 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def wl_init(self):
+        self.ivecs["wl"] = np.ones(self.size, dtype=np.int64)
+
+    def wl_partials(self, label_parts: list, base_lo: int):
+        """Per destination partition: sorted (local_dst, label, count)
+        triples — the neighbor label multiset, pre-counted per worker
+        (counts are summable across workers: a combiner aggregate)."""
+        if len(self.u_src) == 0:
+            return None if self.P == 1 else tuple([None] * self.P)
+        lab_full, base = self._gather(label_parts, base_lo, self.u_span, key="u")
+        vals = self._scratch("uvals", len(self.u_src), lab_full.dtype)
+        np.take(lab_full, self._rel("u", base), out=vals)
+        out = []
+        for q in range(self.P):
+            a, b = int(self.u_qb[q]), int(self.u_qb[q + 1])
+            if b == a:
+                out.append(None)
+                continue
+            dstl = self.u_dst[a:b] - self.vb[q]
+            v = vals[a:b]
+            order = np.lexsort((v, dstl))
+            dstl, v = dstl[order], v[order]
+            brk = np.flatnonzero((dstl[1:] != dstl[:-1]) | (v[1:] != v[:-1]))
+            starts = np.concatenate([[0], brk + 1])
+            cnts = np.diff(np.concatenate([starts, [len(dstl)]]))
+            out.append((dstl[starts], v[starts], cnts.astype(np.int64)))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def wl_reduce(self, refs: list) -> int:
+        """Merge (dst, label, count) triples across source workers, fold
+        each vertex's sorted multiset into the polynomial hash, rehash
+        with the old color. Returns number of changed colors."""
+        idx_all, val_all, cnt_all = [], [], []
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        for tri in refs:
+            if tri is not None:
+                idx_all.append(tri[0])
+                val_all.append(tri[1])
+                cnt_all.append(tri[2])
+        old = self.ivecs["wl"].view(np.uint64)
+        h_nbr = np.zeros(self.size, dtype=np.uint64)
+        if idx_all:
+            idx = np.concatenate(idx_all)
+            val = np.concatenate(val_all)
+            cnt = np.concatenate(cnt_all)
+            order = np.lexsort((val, idx))
+            idx, val, cnt = idx[order], val[order], cnt[order]
+            # same (dst, label) may arrive from several workers — sum
+            brk = np.flatnonzero((idx[1:] != idx[:-1]) | (val[1:] != val[:-1]))
+            starts = np.concatenate([[0], brk + 1])
+            seglen = np.diff(np.concatenate([starts, [len(idx)]]))
+            cnt = np.add.reduceat(cnt, starts)
+            idx, val = idx[starts], val[starts]
+            # per-vertex segments over the merged sorted distinct labels
+            vbrk = np.flatnonzero(idx[1:] != idx[:-1])
+            vstarts = np.concatenate([[0], vbrk + 1])
+            vlen = np.diff(np.concatenate([vstarts, [len(idx)]]))
+            from ppagerank_ray.algos.anf import splitmix64
+
+            with np.errstate(over="ignore"):
+                x = splitmix64(
+                    val.view(np.uint64) * self.WL_K3 + cnt.astype(np.uint64)
+                )
+                rel = np.arange(len(idx)) - np.repeat(vstarts, vlen)
+                expo = np.repeat(vlen, vlen) - 1 - rel
+                maxd = int(vlen.max())
+                pows = np.empty(maxd, dtype=np.uint64)
+                pows[0] = 1
+                for j in range(1, maxd):
+                    pows[j] = pows[j - 1] * self.WL_COEF
+                contrib = x * pows[expo]
+                sums = np.add.reduceat(contrib, vstarts)
+            h_nbr[idx[vstarts]] = sums
+        from ppagerank_ray.algos.anf import splitmix64
+
+        with np.errstate(over="ignore"):
+            new = splitmix64(old * self.WL_K2 + h_nbr).view(np.int64)
+        changed = int((new != self.ivecs["wl"]).sum())
+        self.ivecs["wl"] = new.copy()
+        return changed
+
     # ---------- greedy graph coloring (Jones-Plassmann) ----------
     # Uncolored local-priority-minima color themselves each round with the
     # mex of their already-colored neighbors' colors. Selection reuses the
