@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "kcore", "bfs", "scc", "hosts", "walks",
-                             "mis", "matching", "coloring"])
+                             "mis", "matching", "coloring", "wl"])
     ap.add_argument("--seed", type=int, default=0,
                     help="BFS source vertex id (--algo bfs) / walk PRNG "
                     "seed (--algo walks)")
@@ -220,7 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             summary["output"] = eng.write_result_partitioned(args.out, "x", "score")
         eng.shutdown()
     elif args.algo in ("components", "labelprop", "kcore", "bfs",
-                       "mis", "matching", "coloring"):
+                       "mis", "matching", "coloring", "wl"):
         eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads,
                            wrows=args.wrows, wnnz=args.wnnz)
         eng.load_undirected(build_undirected(gt.edges), presorted=True)
@@ -250,6 +250,11 @@ def main(argv: list[str] | None = None) -> int:
 
             info = greedy_coloring(eng, seed=args.seed or 17)
             vec, colname = "color", "color"
+        elif args.algo == "wl":
+            from ppagerank_ray.algos.wl import wl_refinement
+
+            info = wl_refinement(eng, rounds=args.lp_rounds or 3)
+            vec, colname = "wl", "wl_color"
         else:  # bfs
             from ppagerank_ray.algos.structure import bfs_distances
 

@@ -159,6 +159,7 @@ def main() -> None:
         from ppagerank_ray.algos.coloring import greedy_coloring
         from ppagerank_ray.algos.matching import maximal_matching
         from ppagerank_ray.algos.mis import maximal_independent_set
+        from ppagerank_ray.algos.wl import wl_refinement
 
         nv = n_vertices_for(pages)
         und = build_undirected(synth_edges(pages, parallelism=ncpu * 4))
@@ -170,6 +171,7 @@ def main() -> None:
             ("mis", maximal_independent_set),
             ("matching", maximal_matching),
             ("coloring", greedy_coloring),
+            ("wl", wl_refinement),
         ):
             rec = {"phase": f"greedy_{name}", "pages": pages,
                    "und_edges": n_und, "load_sec": load_sec}
