@@ -80,21 +80,60 @@ def _attach_ids(t: pa.Table, offset: int) -> pa.Table:
     return pa.Table.from_arrays([ids, t["url"]], names=["id", "url"])
 
 
-def _ext_url_scan(pref, width: int):
+# ≤ this many urls the broadcast is the sorted Arrow array itself and
+# lookups run pc.index_in per batch: the Arrow hash build is O(V) per
+# batch but allocates from Arrow's pooled allocator, so it never touches
+# fresh-mmap pages — measured ~50 ms/batch at 600k urls, where the
+# packed-searchsorted path's numpy temporaries cold-fault ~0.7 s on each
+# worker's FIRST batch (this kernel faults fresh pages at ~100 MB/s;
+# see urlindex.py and ppagerank_ray.warm_heap). Above it index_in's
+# per-batch re-hash goes superlinear (measured 28× at 6M urls) and the
+# packed matrix — built once, plasma-mapped zero-copy — wins.
+URL_LOOKUP_HASH_MAX = 2_000_000
+
+
+def _make_url_lookup(url_arr, n: int):
+    """→ (broadcast_ref, width, mode). mode 'hash' ships the sorted
+    Arrow array (positions = index_in = sort rank); mode 'packed' ships
+    the fixed-width byte matrix (positions = searchsorted). Both return
+    EXACT positions, so the choice is pure performance."""
+    from ppagerank_ray.graph.urlindex import SortedUrlIndex
+
+    if n <= URL_LOOKUP_HASH_MAX:
+        arr = (
+            url_arr.combine_chunks()
+            if isinstance(url_arr, pa.ChunkedArray)
+            else url_arr
+        )
+        return ray.put(arr), 0, "hash"
+    ix = SortedUrlIndex.build(url_arr)  # raises UrlIndexUnavailable
+    return ray.put(ix.packed), ix.width, "packed"
+
+
+def _lookup_urls(ref, width: int, mode: str, batch) -> np.ndarray:
+    """Positions of batch strings in the broadcast url set, -1 on miss."""
+    if mode == "hash":
+        b = (
+            batch.combine_chunks()
+            if isinstance(batch, pa.ChunkedArray)
+            else batch
+        )
+        pos = pc.index_in(b, value_set=ray.get(ref))
+        return pc.fill_null(pos, -1).cast(pa.int64()).to_numpy()
+    from ppagerank_ray.graph.urlindex import lookup_positions
+
+    return lookup_positions(ray.get(ref), width, batch)
+
+
+def _ext_url_scan(pref, width: int, mode: str):
     """Per-batch scan for link targets NOT in the page-url set: one
-    searchsorted against the packed index (plasma-shared, zero-copy in
-    every worker — ray.get of a numpy array maps the same buffer) + one
-    Arrow unique over the misses. Plain tasks, no per-task state: the
-    packed matrix needs no per-worker hash build, which is the whole
-    point — the pd.Index / pc.index_in alternatives cost O(V) Python
-    objects or O(V) re-hashing per worker/batch (measured 469 s vs
-    ~20 s for this stage at 6M pages; see urlindex.py)."""
+    lookup (_lookup_urls — index_in below URL_LOOKUP_HASH_MAX, packed
+    searchsorted above) + one Arrow unique over the misses. Plain tasks,
+    no per-task state."""
 
     def scan(t: pa.Table) -> pa.Table:
-        from ppagerank_ray.graph.urlindex import lookup_positions
-
         dst = t["dst_url"]
-        pos = lookup_positions(ray.get(pref), width, dst)
+        pos = _lookup_urls(pref, width, mode, dst)
         ext = pc.unique(
             dst.combine_chunks().filter(pa.array(pos < 0))
         )
@@ -103,28 +142,28 @@ def _ext_url_scan(pref, width: int):
     return scan
 
 
-def _url_id_mapper(pref, width: int, eref, ewidth: int, n_pages: int):
+def _url_id_mapper(pref, width: int, mode: str, eref, ewidth: int,
+                   emode: str, n_pages: int):
     """(src_url, dst_url) → (src, dst): page ids are positions in the
-    sorted packed url matrix; misses resolve to trailing ids n_pages +
-    rank in the packed external matrix. Two searchsorteds per batch."""
+    sorted url set; misses resolve to trailing ids n_pages + rank in the
+    sorted external set. Two lookups per batch."""
 
     def map_ids(t: pa.Table) -> pa.Table:
-        from ppagerank_ray.graph.urlindex import lookup_positions
-
-        packed = ray.get(pref)
-        src = lookup_positions(packed, width, t["src_url"])
+        src = _lookup_urls(pref, width, mode, t["src_url"])
         if (src < 0).any():
             raise ValueError("link src url missing from pages")
-        dst = lookup_positions(packed, width, t["dst_url"])
+        dst = _lookup_urls(pref, width, mode, t["dst_url"])
         miss = dst < 0
         if miss.any():
-            epos = lookup_positions(
-                ray.get(eref),
+            epos = _lookup_urls(
+                eref,
                 ewidth,
+                emode,
                 t["dst_url"].combine_chunks().filter(pa.array(miss)),
             )
             if (epos < 0).any():
                 raise ValueError("link dst url missing from vertex table")
+            dst = dst.copy() if not dst.flags.writeable else dst
             dst[miss] = n_pages + epos
         return pa.Table.from_pydict({"src": src, "dst": dst})
 
@@ -549,26 +588,23 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
             "driver arrays — use build_graph(use_fast=False)"
         )
 
-    from ppagerank_ray.graph.urlindex import (
-        SortedUrlIndex,
-        UrlIndexUnavailable,
-    )
+    from ppagerank_ray.graph.urlindex import UrlIndexUnavailable
 
     url_arr = _vertex_url_array(vertices_pages, n_pages)
     try:
-        ix = SortedUrlIndex.build(url_arr)
+        pref, width, mode = _make_url_lookup(url_arr, n_pages)
     except UrlIndexUnavailable as e:
         raise FastPathUnavailable(f"url index unavailable: {e}") from e
-    pref, width = ray.put(ix.packed), ix.width
 
     # distinct external urls (tiny): per-batch unique → driver union.
-    # Lookup is searchsorted against the packed sorted-url matrix
-    # (urlindex.py) — zero per-task state, zero Python-object boxing.
-    # The per-actor pd.Index variant drove the kernel into THP
-    # compaction at 6M pages (469 s for a ~20 s stage), and pc.index_in
-    # re-hashes the O(V) value set per batch (28× superlinear).
+    # Lookup mode is size-gated (_make_url_lookup): index_in under 2M
+    # urls (Arrow-allocator hash — no cold-fault numpy temporaries),
+    # packed searchsorted above (zero per-task state, zero Python-object
+    # boxing; the per-actor pd.Index variant drove the kernel into THP
+    # compaction at 6M pages — 469 s for a ~20 s stage — and index_in
+    # re-hashes the O(V) value set per batch, 28× superlinear there).
     ext_parts = links.select_columns(["dst_url"]).map_batches(
-        _ext_url_scan(pref, width),
+        _ext_url_scan(pref, width, mode),
         batch_format="pyarrow",
         batch_size=262144,
     ).materialize()
@@ -592,7 +628,7 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
     ext_arr = pc.unique(ext_all)
     ext_arr = ext_arr.take(pc.sort_indices(ext_arr))
     try:
-        ext_ix = SortedUrlIndex.build(ext_arr)
+        eref, ewidth, emode = _make_url_lookup(ext_arr, len(ext_arr))
     except UrlIndexUnavailable as e:
         raise FastPathUnavailable(f"external url index: {e}") from e
     if len(ext_arr) and n_pages:
@@ -605,9 +641,7 @@ def build_graph_fast(pages: rd.Dataset) -> GraphTables:
     n_vertices = n_pages + len(ext_arr)
 
     edge_ids = links.map_batches(
-        _url_id_mapper(
-            pref, width, ray.put(ext_ix.packed), ext_ix.width, n_pages
-        ),
+        _url_id_mapper(pref, width, mode, eref, ewidth, emode, n_pages),
         batch_format="pyarrow",
         batch_size=262144,
     )

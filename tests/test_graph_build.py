@@ -228,3 +228,25 @@ def test_sample_edges_filter_equals_in_sample_flag(sf_tiny):
     filt = filtered.sort_values(["src", "dst"]).reset_index(drop=True)
     assert keep.equals(filt)
     assert 0 < len(filt) < len(flagged)
+
+
+def test_fast_path_lookup_modes_identical(sf_tiny, monkeypatch):
+    """The size-gated url-lookup modes (index_in vs packed searchsorted)
+    must produce identical graphs — forcing the packed mode at fixture
+    scale keeps the >2M-url path covered."""
+    import ppagerank_ray.graph.build as B
+    from ppagerank_ray.sources.pages import synth_pages
+
+    g_hash = B.build_graph_fast(synth_pages(sf_tiny))
+    e_hash = g_hash.edges.to_pandas().sort_values(["src", "dst"]).reset_index(
+        drop=True
+    )
+    monkeypatch.setattr(B, "URL_LOOKUP_HASH_MAX", 0)
+    g_packed = B.build_graph_fast(synth_pages(sf_tiny))
+    e_packed = (
+        g_packed.edges.to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert g_hash.n_vertices == g_packed.n_vertices
+    assert e_hash.equals(e_packed)
