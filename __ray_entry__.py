@@ -628,13 +628,18 @@ def _q_graph_summary(sf_dir: str):
     reciprocity, Newman degree assortativity, wedge + triangle counts
     and global transitivity — each still computed by its own distributed
     pipeline (combiner groupby / engine moments / triangle join)."""
-    from ppagerank_ray.algos.structure import degree_assortativity, wedge_count
+    from ppagerank_ray.algos.structure import (
+        degree_assortativity,
+        pseudo_diameter,
+        wedge_count,
+    )
     from ppagerank_ray.algos.triangles import triangle_count
 
     recip = _q_reciprocity(sf_dir)
     eng, gt = _engine(sf_dir, directed=False, undirected=True)
     r = degree_assortativity(eng)
     wedges = wedge_count(eng)
+    pd_info = pseudo_diameter(eng, seed=BFS_SEED)
     eng.shutdown()
     tri = triangle_count(gt.edges, gt.n_vertices)
     return pa.Table.from_pydict(
@@ -648,6 +653,7 @@ def _q_graph_summary(sf_dir: str):
             "transitivity": pa.array(
                 [round(3.0 * tri / wedges, 6) if wedges else None], pa.float64()
             ),
+            "pseudo_diameter": pa.array([pd_info["value"]], pa.int64()),
         }
     )
 
@@ -2499,6 +2505,57 @@ def _bfs_sql(iters: int, seed: int) -> str:
     )
 
 
+def _pseudo_diam_sql(iters: int, seed: int, with_ctes: bool = False) -> str:
+    """Double-sweep pseudo-diameter (algos/structure.pseudo_diameter):
+    BFS from seed (min-plus unroll), re-root at the farthest reachable
+    vertex with ties → smallest id, BFS again, report the max reachable
+    distance. with_ctes=False emits only its own pd/qd CTEs so it embeds
+    as a scalar subquery inside a query whose WITH already declares
+    verts/undb (re-declaring them collides in DuckDB)."""
+    inf = 1 << 40
+    parts = [
+        (_GRAPH_CTES + ",") if with_ctes else "",
+        f""" pd0 AS MATERIALIZED (
+  SELECT id, CASE WHEN id = {seed} THEN 0 ELSE {inf} END::BIGINT AS d FROM verts
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", pd{t} AS MATERIALIZED (
+  SELECT v.id, least(c.d, coalesce(h.m + 1, c.d)) AS d
+  FROM verts v JOIN pd{t-1} c ON v.id = c.id
+  LEFT JOIN (
+    SELECT u.dst AS id, min(k.d) AS m
+    FROM undb u JOIN pd{t-1} k ON u.src = k.id GROUP BY u.dst
+  ) h ON v.id = h.id
+)"""
+        )
+    parts.append(
+        f""", pdfar AS (
+  SELECT id FROM pd{iters} WHERE d < {inf} ORDER BY d DESC, id LIMIT 1
+), qd0 AS MATERIALIZED (
+  SELECT v.id, CASE WHEN v.id = (SELECT id FROM pdfar)
+               THEN 0 ELSE {inf} END::BIGINT AS d FROM verts v
+)"""
+    )
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", qd{t} AS MATERIALIZED (
+  SELECT v.id, least(c.d, coalesce(h.m + 1, c.d)) AS d
+  FROM verts v JOIN qd{t-1} c ON v.id = c.id
+  LEFT JOIN (
+    SELECT u.dst AS id, min(k.d) AS m
+    FROM undb u JOIN qd{t-1} k ON u.src = k.id GROUP BY u.dst
+  ) h ON v.id = h.id
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT max(d)::BIGINT AS pd FROM qd{iters} WHERE d < {inf}"
+    )
+
+
 def _clustering_sql() -> str:
     """Per-vertex triangle counts + local clustering coefficient (each
     triangle counted once per corner via the oriented und join)."""
@@ -2958,7 +3015,8 @@ SELECT (SELECT c FROM recip) AS n_reciprocal,
        round(corr(ds.c, dd.c), 6) AS assortativity,
        (SELECT w FROM wedges) AS n_wedges,
        (SELECT t FROM tri) AS n_triangles,
-       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6) AS transitivity
+       round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6) AS transitivity,
+       ({_pseudo_diam_sql(BFS_ITERS, BFS_SEED)}) AS pseudo_diameter
 FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
         "degree_distributions": f"""WITH {_GRAPH_CTES},
 ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)

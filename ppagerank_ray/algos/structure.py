@@ -176,3 +176,39 @@ def harmonic_centrality(
         "n_seeds": len(seeds),
         "bfs_rounds_total": rounds,
     }
+
+
+def pseudo_diameter(engine: VertexEngine, seed: int = 0) -> dict:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib, "Fast
+    computation of empirically tight bounds for the diameter of massive
+    graphs", JEA 13, 2009): BFS from `seed`, re-root at the farthest
+    reachable vertex (ties → smallest id — deterministic), BFS again;
+    the second eccentricity is the bound (exact on trees, empirically
+    tight on web graphs). Two BFS fixpoints + one distributed argmax —
+    no new exchange shapes. Requires engine.load_undirected."""
+    import ray
+
+    info1 = bfs_distances(engine, [seed])
+    sentinel = info1["sentinel"]
+    per = ray.get(
+        [w.ivec_argmax_lt.remote("dist", sentinel) for w in engine.workers]
+    )
+    best_d, best_id = -1, -1
+    for d, vid in per:
+        if d > best_d or (d == best_d and vid != -1 and
+                          (best_id == -1 or vid < best_id)):
+            best_d, best_id = d, vid
+    if best_id < 0:  # no vertices at all
+        return {"algorithm": "pseudo_diameter", "value": -1, "endpoint": -1}
+    bfs_distances(engine, [best_id])
+    diam = max(
+        ray.get(
+            [w.ivec_max_lt.remote("dist", sentinel) for w in engine.workers]
+        )
+    )
+    return {
+        "algorithm": "pseudo_diameter",
+        "value": int(diam),
+        "endpoint": int(best_id),
+        "first_sweep_ecc": int(best_d),
+    }

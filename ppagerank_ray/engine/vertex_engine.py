@@ -336,6 +336,18 @@ class _VertexWorker:
         v = v[v < bound]
         return int(v.max()) if len(v) else -1
 
+    def ivec_argmax_lt(self, name: str, bound: int) -> tuple[int, int]:
+        """(max value strictly below bound, smallest GLOBAL id achieving
+        it) — (-1, -1) if none. The distributed argmax for the
+        double-sweep re-root (ties → smallest id, deterministic)."""
+        v = self.ivecs[name]
+        m = v < bound
+        if not m.any():
+            return -1, -1
+        mx = int(v[m].max())
+        ids = np.flatnonzero(v == mx)
+        return mx, int(ids.min()) + self.vlo
+
     # ---------- SpMV: y_partial[q] = sum over local edges of x[src]*w ----------
 
     def _gather(

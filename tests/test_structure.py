@@ -280,3 +280,45 @@ def test_closeness_accumulators_match_bfs():
                 exp_cnt[v] += 1
     np.testing.assert_array_equal(csum, exp_sum)
     np.testing.assert_array_equal(ccnt, exp_cnt)
+
+
+def test_pseudo_diameter_path_and_star():
+    from ppagerank_ray.algos.structure import pseudo_diameter
+
+    # path 0-1-2-3-4: double sweep finds the true diameter 4 from any seed
+    eng = _engine([0, 1, 2, 3], [1, 2, 3, 4], 5, 2)
+    info = pseudo_diameter(eng, seed=2)
+    eng.shutdown()
+    assert info["value"] == 4
+    # star: diameter 2, found exactly
+    eng = _engine([0, 0, 0, 0], [1, 2, 3, 4], 5, 2)
+    info = pseudo_diameter(eng, seed=0)
+    eng.shutdown()
+    assert info["value"] == 2
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_pseudo_diameter_bounds_and_invariance(P):
+    from ppagerank_ray.algos.structure import pseudo_diameter
+
+    rng = np.random.default_rng(47)
+    n = 120
+    src = rng.integers(0, n, 260)
+    dst = rng.integers(0, n, 260)
+    eng = _engine(src, dst, n, P)
+    info = pseudo_diameter(eng, seed=0)
+    eng.shutdown()
+    g = _nx_graph(src, dst, n)
+    comp = nx.node_connected_component(g, 0)
+    true_diam = max(
+        nx.eccentricity(g.subgraph(comp)).values()
+    )
+    ecc0 = nx.eccentricity(g.subgraph(comp), v=0)
+    # lower-bounded by the seed's eccentricity, upper-bounded by the
+    # true diameter of the seed's component
+    assert ecc0 <= info["value"] <= true_diam
+    # deterministic across partitions
+    eng = _engine(src, dst, n, 2)
+    info2 = pseudo_diameter(eng, seed=0)
+    eng.shutdown()
+    assert info2 == info
