@@ -104,6 +104,13 @@ class _ContentionSampler:
     def start(self) -> None:
         self._thread.start()
 
+    def window_p50(self, t0: float, t1: float) -> float:
+        """Co-tenant p50 within [t0, t1] — lets best_of treat an attempt
+        that ran under a measured burst as tainted even when the burst
+        lasted long enough to flatten the spread heuristic."""
+        vals = sorted(c for ts, c in self.samples if t0 <= ts <= t1)
+        return vals[len(vals) // 2] if vals else 0.0
+
     def summary(self, marks: list | None = None) -> dict:
         self._stop.set()
         self._thread.join(timeout=5)
@@ -224,20 +231,29 @@ def run_bench() -> dict:
         """Adaptive min-of-n phase timing: co-tenant bursts on this box
         stall identical work 2-10× for MINUTES at a time (BASELINE.md
         'noise'), so two back-to-back attempts can both land inside one
-        burst. Run n attempts; while the observed spread says a burst was
-        present (max/min > 1.4) keep retrying up to PPR_BENCH_ATTEMPTS.
-        The min estimates machine capability, same spirit as the p20
-        per-iteration metric and the --scaling interleaved best-of."""
+        burst. Run n attempts; keep retrying up to PPR_BENCH_ATTEMPTS
+        while EITHER the spread says a burst was present (max/min > 1.4)
+        OR every attempt so far ran under measured co-tenancy (window
+        p50 > 2 cores — a long burst flattens the spread, so the spread
+        heuristic alone accepted 2-4× inflated phases; round-4 session-2
+        forensics). The min estimates machine capability, same spirit as
+        the p20 per-iteration metric and --scaling's interleaved best-of."""
         times, out = [], None
+        any_clean = False
         while True:
+            w0 = time.time()
             t0 = time.perf_counter()
             r = fn()
             dt = time.perf_counter() - t0
             if not times or dt < min(times):
                 out = r
             times.append(dt)
-            if len(times) >= n and (
-                max(times) / min(times) <= 1.4 or len(times) >= max_attempts
+            if contention.window_p50(w0, time.time()) <= 2.0:
+                any_clean = True
+            if len(times) >= max_attempts or (
+                len(times) >= n
+                and any_clean
+                and max(times) / min(times) <= 1.4
             ):
                 return min(times), out
 
