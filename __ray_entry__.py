@@ -903,6 +903,81 @@ wl0 AS (SELECT id, 1::BIGINT AS col FROM verts)""",
     )
 
 
+LOUVAIN_ITERS = 8  # sync modularity-gain LP rounds (fixed, oracle-matched)
+LOUVAIN_SEED = 19
+
+
+def _louvain_sql(rounds: int, seed: int) -> str:
+    """Modularity-gain label propagation unrolled (algos/louvain.py
+    semantics): per round the splitmix-parity-active half adopts the
+    candidate community maximizing the exact integer score
+    2·(2m)·e_{v,c} − 2·deg(v)·(vol(c) − deg(v)·[c == comm(v)]),
+    ties → smallest community id."""
+    M = 1 << 64
+    K1 = 0x100000001B3
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(z: str, C: int) -> str:
+        hi, lo = C >> 32, C & 0xFFFFFFFF
+        return (
+            f"((({z}::HUGEINT * {lo}) % {M}"
+            f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
+        )
+
+    parts = [
+        _GRAPH_CTES,
+        f""", lvdeg AS MATERIALIZED (
+  SELECT v.id, coalesce(d.c, 0)::BIGINT AS deg FROM verts v LEFT JOIN
+    (SELECT src, count(*)::BIGINT AS c FROM undb GROUP BY src) d ON v.id = d.src
+),
+lvz0 AS (SELECT id,
+  (((id::HUGEINT * {K1} + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z FROM verts),
+lvz1 AS (SELECT id, {mulmod('xor(z, z >> 30)', C2)} AS z FROM lvz0),
+lvz2 AS (SELECT id, {mulmod('xor(z, z >> 27)', C3)} AS z FROM lvz1),
+lvpar AS MATERIALIZED (
+  SELECT id, (xor(z, z >> 31) & 1)::BIGINT AS par FROM lvz2),
+lvm AS (SELECT sum(deg)::BIGINT AS m2 FROM lvdeg),
+lv0 AS (SELECT id, id AS comm FROM verts)""",
+    ]
+    for t in range(1, rounds + 1):
+        rnd = t - 1
+        parts.append(
+            f""", lvvol{t} AS MATERIALIZED (
+  SELECT l.comm AS c, sum(d.deg)::BIGINT AS vol
+  FROM lv{t-1} l JOIN lvdeg d ON l.id = d.id GROUP BY l.comm
+), lvh{t} AS MATERIALIZED (
+  SELECT e.src AS v, w.comm AS c, count(*)::BIGINT AS ne
+  FROM undb e JOIN lv{t-1} w ON w.id = e.dst GROUP BY e.src, w.comm
+), lvc{t} AS (
+  SELECT v, c, ne FROM lvh{t}
+  UNION ALL
+  SELECT l.id, l.comm, 0 FROM lv{t-1} l
+  WHERE NOT EXISTS (SELECT 1 FROM lvh{t} h WHERE h.v = l.id AND h.c = l.comm)
+), lvp{t} AS MATERIALIZED (
+  SELECT v, c FROM (
+    SELECT cd.v, cd.c,
+           row_number() OVER (PARTITION BY cd.v ORDER BY
+             (2 * (SELECT m2 FROM lvm) * cd.ne
+              - 2 * d.deg * (vl.vol - d.deg *
+                CASE WHEN cd.c = l.comm THEN 1 ELSE 0 END)) DESC,
+             cd.c ASC) AS rn
+    FROM lvc{t} cd
+    JOIN lvdeg d ON cd.v = d.id
+    JOIN lv{t-1} l ON cd.v = l.id
+    JOIN lvvol{t} vl ON cd.c = vl.c
+  ) WHERE rn = 1
+), lv{t} AS MATERIALIZED (
+  SELECT l.id, CASE WHEN p.par = {rnd % 2} THEN k.c ELSE l.comm END AS comm
+  FROM lv{t-1} l JOIN lvpar p ON l.id = p.id JOIN lvp{t} k ON l.id = k.v
+)"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"\nSELECT id, comm AS community FROM lv{rounds}"
+    )
+
+
 def _kmeans_sql(k: int, iters: int) -> str:
     """Exact integer-quantized Lloyd k-means unrolled
     (functions/clustering.py semantics): quantize floor(x·1e6+0.5),
@@ -1415,14 +1490,24 @@ def _q_ann_methods(sf_dir: str):
 
 
 def _q_label_propagation(sf_dir: str):
+    """Neighbor-mode label propagation + modularity-gain community
+    labels (one-level Louvain, algos/louvain.py) in one per-vertex
+    table (round-4: the `community` column rides the LP query)."""
     from ppagerank_ray.algos.components import label_propagation
+    from ppagerank_ray.algos.louvain import louvain_communities
 
     eng, gt = _engine(sf_dir, directed=False, undirected=True)
     label_propagation(eng, num_rounds=LP_ITERS)
     lab = eng.to_array("label", integer=True)
+    louvain_communities(eng, rounds=LOUVAIN_ITERS, seed=LOUVAIN_SEED)
+    comm = eng.to_array("lv_comm", integer=True)
     eng.shutdown()
     return pa.Table.from_pydict(
-        {"id": np.arange(gt.n_vertices, dtype=np.int64), "label": lab}
+        {
+            "id": np.arange(gt.n_vertices, dtype=np.int64),
+            "label": lab,
+            "community": comm,
+        }
     )
 
 
@@ -2959,7 +3044,10 @@ JOIN ({_salsa_sql(SALSA_ITERS)}) s ON h.id = s.id""",
        (count(*) OVER (PARTITION BY lab))::BIGINT AS component_size
 FROM cc{CC_ITERS}""",
         ),
-        "label_propagation": _lp_sql(LP_ITERS),
+        "label_propagation": f"""
+SELECT l.id, l.label, c.community
+FROM ({_lp_sql(LP_ITERS)}) l
+JOIN ({_louvain_sql(LOUVAIN_ITERS, LOUVAIN_SEED)}) c ON l.id = c.id""",
         "vertex_structure": f"""
 SELECT k.id, k.core, c.n_tri, c.clustering, m.in_mis, w.match_with,
        g.color, q.wl_color

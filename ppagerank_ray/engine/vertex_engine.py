@@ -586,7 +586,117 @@ class _VertexWorker:
         st[joins] = 1
         return int(joins.sum())
 
-    # ---------- Weisfeiler-Leman color refinement ----------
+    # ---------- modularity-gain label propagation (one-level Louvain) ----------
+    # Sync rounds with a deterministic alternating stagger: active
+    # vertices adopt the neighbor community maximizing the EXACT integer
+    # modularity-gain score 2·(2m)·e_{v,c} − 2·deg(v)·(vol(c) − deg(v)·
+    # [c == comm(v)]), ties → smallest community id. Communities are
+    # vertex ids (< V), so the e_{v,c} histograms reuse lp_partials'
+    # packed keys unchanged.
+
+    def louvain_init(self, deg_name: str = "core"):
+        """comm = own id; per-vertex degree copied from `deg_name` (the
+        kcore init round leaves undirected degrees there)."""
+        self.ivecs["lv_comm"] = np.arange(self.vlo, self.vhi, dtype=np.int64)
+        self.ivecs["lv_deg"] = self.ivecs[deg_name].copy()
+
+    def louvain_vol_partials(self):
+        """(community, Σ deg over local members) sparse pairs."""
+        comm = self.ivecs["lv_comm"]
+        deg = self.ivecs["lv_deg"]
+        order = np.argsort(comm, kind="stable")
+        cs, ds = comm[order], deg[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1])
+        return cs[starts], np.add.reduceat(ds, starts)
+
+    def louvain_reduce(
+        self, refs: list, vol_ref, rnd: int, twom: int, seed: int
+    ) -> int:
+        """One staggered move round. refs = lp_partials histograms of the
+        current communities; vol_ref = broadcast (sorted comms, vols).
+        Returns number of local vertices that changed community."""
+        from ppagerank_ray.algos.anf import splitmix64
+
+        keys_all, cnt_all = [], []
+        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+        if ref_idx:
+            got = ray.get([refs[i] for i in ref_idx])
+            refs = list(refs)
+            for i, g in zip(ref_idx, got):
+                refs[i] = g
+        for pair in refs:
+            if pair is not None:
+                keys_all.append(pair[0])
+                cnt_all.append(pair[1])
+        comm = self.ivecs["lv_comm"]
+        deg = self.ivecs["lv_deg"]
+        V = np.int64(self.vb[-1])
+        if keys_all:
+            keys = np.concatenate(keys_all)
+            cnts = np.concatenate(cnt_all)
+            order = np.argsort(keys, kind="stable")
+            keys, cnts = keys[order], cnts[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1])
+            keys = keys[starts]
+            cnts = np.add.reduceat(cnts, starts)
+            hv = (keys // V).astype(np.int64)  # local vertex index
+            hc = (keys % V).astype(np.int64)  # neighbor community
+        else:
+            hv = np.empty(0, np.int64)
+            hc = np.empty(0, np.int64)
+            cnts = np.empty(0, np.int64)
+        # add each vertex's own community as a zero-edge candidate (it
+        # may be absent from the histogram) — dedup against real rows by
+        # keeping the histogram row when both exist
+        own_v = np.arange(self.size, dtype=np.int64)
+        own_k = own_v * V + comm
+        have = np.zeros(0, np.int64)
+        if len(hv):
+            have = hv * V + hc
+        miss = ~np.isin(own_k, have)
+        av = np.concatenate([hv, own_v[miss]])
+        ac = np.concatenate([hc, comm[miss]])
+        ae = np.concatenate([cnts, np.zeros(int(miss.sum()), np.int64)])
+        order = np.lexsort((ac, av))
+        av, ac, ae = av[order], ac[order], ae[order]
+        # exact integer score per candidate row
+        # vol_ref arrives auto-dereferenced (bare ObjectRef task arg)
+        vols_c, vols_v = vol_ref
+        if len(vols_c):
+            pos = np.searchsorted(vols_c, ac)
+            pos[pos >= len(vols_c)] = len(vols_c) - 1
+            vol = np.where(vols_c[pos] == ac, vols_v[pos], 0).astype(np.int64)
+        else:
+            vol = np.zeros(len(ac), np.int64)
+        dv = deg[av]
+        own_mask = ac == comm[av]
+        score = (
+            2 * np.int64(twom) * ae
+            - 2 * dv * (vol - dv * own_mask.astype(np.int64))
+        )
+        # per-vertex argmax (ties → smallest community id)
+        vstarts = np.concatenate([[0], np.flatnonzero(np.diff(av)) + 1])
+        vlen = np.diff(np.concatenate([vstarts, [len(av)]]))
+        smax = np.maximum.reduceat(score, vstarts)
+        is_max = score == np.repeat(smax, vlen)
+        cmin = np.where(is_max, ac, np.iinfo(np.int64).max)
+        best = np.minimum.reduceat(cmin, vstarts)
+        # staggered update: active iff parity(splitmix64(id·K+seed)) == rnd%2
+        ids_u = (own_v + self.vlo).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            par = (
+                splitmix64(ids_u * np.uint64(0x100000001B3) + np.uint64(seed))
+                & np.uint64(1)
+            ).astype(np.int64)
+        active = par == (rnd & 1)
+        new = comm.copy()
+        touched = av[vstarts]
+        new[touched] = np.where(
+            active[touched], best, comm[touched]
+        )
+        moved = int((new != comm).sum())
+        self.ivecs["lv_comm"] = new
+        return moved
     # Round: new(v) = splitmix64(old(v)·K2 + H(v)) where H(v) is an
     # order-canonical polynomial hash of the SORTED neighbor (label,
     # count) multiset — Σ x_i · COEF^(m−1−i) mod 2^64 with
