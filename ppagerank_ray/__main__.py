@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "kcore", "bfs", "scc", "hosts", "walks",
-                             "mis", "matching", "coloring", "wl"])
+                             "mis", "matching", "coloring", "wl", "louvain"])
     ap.add_argument("--seed", type=int, default=0,
                     help="BFS source vertex id (--algo bfs) / walk PRNG "
                     "seed (--algo walks)")
@@ -220,7 +220,7 @@ def main(argv: list[str] | None = None) -> int:
             summary["output"] = eng.write_result_partitioned(args.out, "x", "score")
         eng.shutdown()
     elif args.algo in ("components", "labelprop", "kcore", "bfs",
-                       "mis", "matching", "coloring", "wl"):
+                       "mis", "matching", "coloring", "wl", "louvain"):
         eng = VertexEngine(gt.n_vertices, args.partitions, n_threads=args.threads,
                            wrows=args.wrows, wnnz=args.wnnz)
         eng.load_undirected(build_undirected(gt.edges), presorted=True)
@@ -255,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
 
             info = wl_refinement(eng, rounds=args.lp_rounds or 3)
             vec, colname = "wl", "wl_color"
+        elif args.algo == "louvain":
+            from ppagerank_ray.algos.louvain import louvain_communities
+
+            info = louvain_communities(eng, rounds=args.lp_rounds or 8)
+            vec, colname = "lv_comm", "community"
         else:  # bfs
             from ppagerank_ray.algos.structure import bfs_distances
 

@@ -160,6 +160,7 @@ def main() -> None:
         from ppagerank_ray.algos.matching import maximal_matching
         from ppagerank_ray.algos.mis import maximal_independent_set
         from ppagerank_ray.algos.wl import wl_refinement
+        from ppagerank_ray.algos.louvain import louvain_communities
 
         nv = n_vertices_for(pages)
         und = build_undirected(synth_edges(pages, parallelism=ncpu * 4))
@@ -172,6 +173,7 @@ def main() -> None:
             ("matching", maximal_matching),
             ("coloring", greedy_coloring),
             ("wl", wl_refinement),
+            ("louvain", louvain_communities),
         ):
             rec = {"phase": f"greedy_{name}", "pages": pages,
                    "und_edges": n_und, "load_sec": load_sec}
