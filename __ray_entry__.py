@@ -154,19 +154,62 @@ def _q_vertices(sf_dir: str):
     return _graph(sf_dir).vertices
 
 
+TRUSS_ITERS = 8  # peeling rounds unrolled in SQL (≥ engine rounds, asserted)
+
+
 def _q_edges(sf_dir: str):
     """Edge table + the deterministic Bernoulli sampling decision as an
-    `in_sample` flag (round-4 session-2 consolidation of the old
-    `sampled_edges` query: the flag checks the splitmix64 keep decision
-    on EVERY edge — strictly more coverage than the filtered subset;
-    `graph/build.sample_edges`'s filter is equivalence-tested against
-    the flag in tests/test_graph_build.py)."""
+    `in_sample` flag (round-4 consolidation of the old `sampled_edges`
+    query; `sample_edges`' filter is equivalence-tested against the
+    flag) + per-edge triangle `support` and 4-truss membership
+    (algos/truss.py — session-2). The truss pipelines stream; only the
+    (edge-key, value) lookup arrays reach the driver, under the same
+    50M-key gate triangles' broadcast semi-join already uses."""
+    import ray as _r
+
     from ppagerank_ray.algos.anf import splitmix64
+    from ppagerank_ray.algos.triangles import BROADCAST_MAX_EDGE_KEYS
+    from ppagerank_ray.algos.truss import TRUSS_K, edge_support_and_truss
+
+    gt = _graph(sf_dir)
+    V = np.int64(gt.n_vertices)
+    sup_ds, surv_ds, rounds = edge_support_and_truss(
+        gt.edges, gt.n_vertices, k=TRUSS_K
+    )
+    assert rounds <= TRUSS_ITERS, rounds
+    sup_t = pa.concat_tables(
+        [t for t in _r.get(sup_ds.to_arrow_refs()) if t.num_rows]
+    ) if sup_ds.count() else None
+    if sup_t is not None and sup_t.num_rows > BROADCAST_MAX_EDGE_KEYS:
+        raise ValueError("support lookup exceeds the broadcast gate")
+    if sup_t is not None:
+        sk = sup_t["a"].to_numpy() * V + sup_t["b"].to_numpy()
+        order = np.argsort(sk)
+        sk, sv = sk[order], sup_t["support"].to_numpy()[order]
+    else:
+        sk = np.empty(0, np.int64)
+        sv = np.empty(0, np.int64)
+    tv_t = pa.concat_tables(
+        [t for t in _r.get(surv_ds.to_arrow_refs()) if t.num_rows]
+    ) if surv_ds.count() else None
+    tk = (
+        np.sort(tv_t["a"].to_numpy() * V + tv_t["b"].to_numpy())
+        if tv_t is not None
+        else np.empty(0, np.int64)
+    )
+    lut_ref = _r.put((sk, sv, tk))
 
     K = np.uint64(0x100000001B3)
     thresh = np.uint64(
         min(int(SAMPLE_FRACTION * (1 << 64)), (1 << 64) - 1)
     )
+
+    def _member(sorted_keys: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        if len(sorted_keys) == 0 or len(keys) == 0:
+            return np.zeros(len(keys), bool)
+        pos = np.searchsorted(sorted_keys, keys)
+        pos[pos >= len(sorted_keys)] = len(sorted_keys) - 1
+        return sorted_keys[pos] == keys
 
     def flag(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -175,21 +218,37 @@ def _q_edges(sf_dir: str):
                     "src": pa.array([], pa.int64()),
                     "dst": pa.array([], pa.int64()),
                     "in_sample": pa.array([], pa.int64()),
+                    "support": pa.array([], pa.int64()),
+                    "in_truss4": pa.array([], pa.int64()),
                 }
             )
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
         with np.errstate(over="ignore"):
             h = splitmix64(
-                t["src"].to_numpy().astype(np.uint64) * K
-                + t["dst"].to_numpy().astype(np.uint64)
+                src.astype(np.uint64) * K
+                + dst.astype(np.uint64)
                 + np.uint64(SAMPLE_SEED)
             )
-        return t.append_column(
-            "in_sample", pa.array((h < thresh).astype(np.int64))
+        sk_, sv_, tk_ = _r.get(lut_ref)
+        ck = np.minimum(src, dst) * V + np.maximum(src, dst)
+        sup = np.zeros(len(src), np.int64)
+        m = _member(sk_, ck)
+        if m.any():
+            pos = np.searchsorted(sk_, ck[m])
+            sup[m] = sv_[pos]
+        sup[src == dst] = 0  # self-loops are outside the und domain
+        tr = _member(tk_, ck) & (src != dst)
+        return (
+            t.append_column(
+                "in_sample", pa.array((h < thresh).astype(np.int64))
+            )
+            .append_column("support", pa.array(sup))
+            .append_column("in_truss4", pa.array(tr.astype(np.int64)))
         )
 
     return (
-        _graph(sf_dir)
-        .edges.select_columns(["src", "dst"])
+        gt.edges.select_columns(["src", "dst"])
         .map_batches(flag, batch_format="pyarrow")
     )
 
@@ -1057,15 +1116,43 @@ def _sample_flag_sql(fraction: float, seed: int) -> str:
             f" + ((({z}::HUGEINT * {hi}) % 4294967296) * 4294967296)) % {M})::UBIGINT"
         )
 
+    # per-edge triangle support + bulk-peeled 4-truss membership
+    # (algos/truss.py): sp{t} counts common neighbors inside the round's
+    # survivor graph; inner-joining the support table drops support-0
+    # edges (bar = k−2 = 2)
+    truss = ["ts0 AS (SELECT a, b FROM und)"]
+    for t in range(TRUSS_ITERS + 1):
+        truss.append(
+            f"""tb{t} AS (SELECT a AS u, b AS v FROM ts{t}
+       UNION ALL SELECT b, a FROM ts{t}),
+sp{t} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*)::BIGINT AS s
+  FROM ts{t} e JOIN tb{t} x ON x.u = e.a
+  JOIN tb{t} y ON y.u = e.b AND y.v = x.v
+  GROUP BY e.a, e.b)"""
+        )
+        if t < TRUSS_ITERS:
+            truss.append(
+                f"""ts{t+1} AS MATERIALIZED (
+  SELECT s.a, s.b FROM sp{t} s WHERE s.s >= 2)"""
+            )
+    truss_ctes = ",\n".join(truss)
     return f"""WITH {_GRAPH_CTES},
+{truss_ctes},
 f0 AS (SELECT src, dst,
        (((src::HUGEINT * {K1} + dst + {seed}) % {M} + {C1}) % {M})::UBIGINT AS z
        FROM edges),
 f1 AS (SELECT src, dst, {mulmod('xor(z, z >> 30)', C2)} AS z FROM f0),
 f2 AS (SELECT src, dst, {mulmod('xor(z, z >> 27)', C3)} AS z FROM f1)
-SELECT src, dst,
-       CASE WHEN xor(z, z >> 31) < {thresh}::UBIGINT THEN 1 ELSE 0 END::BIGINT AS in_sample
-FROM f2"""
+SELECT f.src, f.dst,
+       CASE WHEN xor(f.z, f.z >> 31) < {thresh}::UBIGINT THEN 1 ELSE 0 END::BIGINT AS in_sample,
+       coalesce(s0.s, 0)::BIGINT AS support,
+       CASE WHEN tt.a IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS in_truss4
+FROM f2 f
+LEFT JOIN sp0 s0 ON s0.a = least(f.src, f.dst) AND s0.b = greatest(f.src, f.dst)
+                    AND f.src <> f.dst
+LEFT JOIN ts{TRUSS_ITERS} tt ON tt.a = least(f.src, f.dst)
+                    AND tt.b = greatest(f.src, f.dst) AND f.src <> f.dst"""
 
 
 def _curation_sql() -> str:

@@ -322,3 +322,74 @@ def test_pseudo_diameter_bounds_and_invariance(P):
     info2 = pseudo_diameter(eng, seed=0)
     eng.shutdown()
     assert info2 == info
+
+
+def test_edge_support_and_truss_matches_bruteforce():
+    from ppagerank_ray.algos.truss import edge_support_and_truss
+
+    rng = np.random.default_rng(61)
+    n = 60
+    src = rng.integers(0, n, 240).tolist()
+    dst = rng.integers(0, n, 240).tolist()
+    adj = [set() for _ in range(n)]
+    E = set()
+    for a, b in zip(src, dst):
+        if a != b:
+            a2, b2 = min(a, b), max(a, b)
+            adj[a2].add(b2)
+            adj[b2].add(a2)
+            E.add((a2, b2))
+    exp_sup = {
+        e: len(adj[e[0]] & adj[e[1]])
+        for e in E
+        if len(adj[e[0]] & adj[e[1]]) > 0
+    }
+    cur = set(E)
+    while True:
+        def s(e):
+            a, b = e
+            return len(
+                {
+                    c
+                    for c in adj[a] & adj[b]
+                    if (min(a, c), max(a, c)) in cur
+                    and (min(b, c), max(b, c)) in cur
+                }
+            )
+        drop = {e for e in cur if s(e) < 2}
+        if not drop:
+            break
+        cur -= drop
+
+    sup_ds, surv_ds, rounds = edge_support_and_truss(
+        _edges_ds(src, dst), n, k=4
+    )
+    sup = sup_ds.to_pandas()
+    got_sup = {(r.a, r.b): r.support for r in sup.itertuples()}
+    assert got_sup == exp_sup
+    surv = surv_ds.to_pandas()
+    assert set(zip(surv["a"], surv["b"])) == cur
+    assert rounds >= 1
+
+
+def test_truss_triangle_and_empty():
+    from ppagerank_ray.algos.truss import edge_support_and_truss
+
+    # a single triangle is itself a 3-truss but not a 4-truss... with
+    # k=4 every edge needs 2 triangles; one triangle has support 1 ⇒ all peeled
+    sup_ds, surv_ds, _ = edge_support_and_truss(
+        _edges_ds([0, 1, 2], [1, 2, 0]), 3, k=4
+    )
+    assert surv_ds.count() == 0
+    assert sorted(sup_ds.to_pandas()["support"].tolist()) == [1, 1, 1]
+    # two triangles sharing an edge: the shared edge has support 2 but
+    # the outer edges only 1 ⇒ peeling still empties the 4-truss
+    sup_ds, surv_ds, _ = edge_support_and_truss(
+        _edges_ds([0, 1, 2, 0, 3, 1], [1, 2, 0, 3, 1, 0]), 4, k=4
+    )
+    assert surv_ds.count() == 0
+    # K4 is exactly the smallest 4-truss (every edge in 2 triangles)
+    src = [i for i in range(4) for j in range(i + 1, 4)]
+    dst = [j for i in range(4) for j in range(i + 1, 4)]
+    sup_ds, surv_ds, _ = edge_support_and_truss(_edges_ds(src, dst), 4, k=4)
+    assert surv_ds.count() == 6
