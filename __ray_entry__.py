@@ -176,7 +176,8 @@ def _q_edges(sf_dir: str):
     sup_ds, surv_ds, rounds = edge_support_and_truss(
         gt.edges, gt.n_vertices, k=TRUSS_K
     )
-    assert rounds <= TRUSS_ITERS, rounds
+    if rounds > TRUSS_ITERS:
+        raise ValueError(f"truss peeling outran the oracle unroll: {rounds}")
     sup_t = pa.concat_tables(
         [t for t in _r.get(sup_ds.to_arrow_refs()) if t.num_rows]
     ) if sup_ds.count() else None
@@ -1279,8 +1280,8 @@ def _q_mis(sf_dir: str) -> np.ndarray:
     info = maximal_independent_set(eng, seed=MIS_SEED)
     st = eng.to_array("mis_status", integer=True)
     eng.shutdown()
-    assert info["rounds"] <= MIS_ITERS, info
-    assert (st != 0).all()  # fixpoint: nobody is still active
+    if info["rounds"] > MIS_ITERS or (st == 0).any():
+        raise ValueError(f"MIS outran the oracle unroll: {info}")
     return (st == 1).astype(np.int64)
 
 
@@ -1293,7 +1294,8 @@ def _q_matching(sf_dir: str) -> np.ndarray:
     info = maximal_matching(eng, seed=MATCH_SEED)
     partner = eng.to_array("partner", integer=True)
     eng.shutdown()
-    assert info["rounds"] <= MATCH_ITERS, info
+    if info["rounds"] > MATCH_ITERS:
+        raise ValueError(f"matching outran the oracle unroll: {info}")
     return partner
 
 
@@ -1306,8 +1308,8 @@ def _q_coloring(sf_dir: str) -> np.ndarray:
     info = greedy_coloring(eng, seed=COLOR_SEED)
     col = eng.to_array("color", integer=True)
     eng.shutdown()
-    assert info["rounds"] <= COLOR_ITERS, info
-    assert (col >= 0).all()
+    if info["rounds"] > COLOR_ITERS or (col < 0).any():
+        raise ValueError(f"coloring outran the oracle unroll: {info}")
     return col
 
 

@@ -896,7 +896,14 @@ class _VertexWorker:
     def match_init(self, seed: int):
         from ppagerank_ray.algos.anf import splitmix64
 
-        assert int(self.vb[-1]) < (1 << self.MATCH_ID_BITS)
+        if int(self.vb[-1]) >= (1 << self.MATCH_ID_BITS):
+            # explicit raise, not assert — python -O must not silently
+            # allow id bits to collide with the priority bits (the
+            # round-3 ADVICE gate-hardening class)
+            raise ValueError(
+                f"{int(self.vb[-1])} vertices exceed the {self.MATCH_ID_BITS}"
+                "-bit id field of the matching key packing"
+            )
         ids = np.arange(self.vlo, self.vhi, dtype=np.uint64)
         with np.errstate(over="ignore"):
             h = splitmix64(ids * np.uint64(0x100000001B3) + np.uint64(seed))
