@@ -275,3 +275,55 @@ def test_kcore_bfs_property(g):
     eng.shutdown()
     dist = np.where(dist >= info["sentinel"], -1, dist)
     assert np.array_equal(dist, _py_bfs(us, ud, n))
+
+
+@given(g=graphs())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+def test_greedy_family_properties(g):
+    """MIS independence+maximality, matching symmetry+maximality,
+    coloring properness — one engine per random adversarial graph."""
+    from ppagerank_ray.algos.coloring import greedy_coloring
+    from ppagerank_ray.algos.matching import maximal_matching
+    from ppagerank_ray.algos.mis import maximal_independent_set
+
+    n, edges = g
+    ds, src, dst = _edge_ds(n, edges)
+    und = [(a, b) for a, b in zip(src, dst) if a != b]
+    a = np.array([min(x, y) for x, y in und], np.int64)
+    b = np.array([max(x, y) for x, y in und], np.int64)
+
+    eng = VertexEngine(n, 2)
+    eng.load_undirected(build_undirected(ds))
+    maximal_independent_set(eng)
+    st_mis = eng.to_array("mis_status", integer=True)
+    maximal_matching(eng)
+    partner = eng.to_array("partner", integer=True)
+    greedy_coloring(eng)
+    col = eng.to_array("color", integer=True)
+    eng.shutdown()
+
+    in_mis = st_mis == 1
+    assert (st_mis != 0).all()
+    if len(a):
+        assert not (in_mis[a] & in_mis[b]).any()
+    covered = np.zeros(n, bool)
+    if len(a):
+        np.logical_or.at(covered, a, in_mis[b])
+        np.logical_or.at(covered, b, in_mis[a])
+    assert (in_mis | covered).all()
+
+    matched = np.flatnonzero(partner >= 0)
+    if len(matched):
+        assert (partner[partner[matched]] == matched).all()
+        assert (partner[matched] != matched).all()
+    if len(a):
+        unm = partner < 0
+        assert not (unm[a] & unm[b]).any()
+
+    assert (col >= 0).all()
+    if len(a):
+        assert not (col[a] == col[b]).any()
