@@ -184,6 +184,24 @@ def main() -> None:
             emit(rec)
         geng.shutdown()
 
+    if "truss" in phases:
+        # per-edge support + 4-truss peeling at `pages` scale — the
+        # evidence is peeling converging in a few rounds with the wedge
+        # machinery's gates doing the work each round
+        from ppagerank_ray.algos.truss import edge_support_and_truss
+
+        nv = n_vertices_for(pages)
+        rec = {"phase": "truss", "pages": pages}
+        t0 = time.time()
+        sup_ds, surv_ds, rounds = edge_support_and_truss(
+            synth_edges(pages, parallelism=ncpu * 4), nv, k=4
+        )
+        rec["sec"] = round(time.time() - t0, 1)
+        rec["rounds"] = rounds
+        rec["support_edges"] = sup_ds.count()
+        rec["truss_edges"] = surv_ds.count()
+        emit(rec)
+
     if "signatures" in phases:
         # 10× the bench's minhash_text phase: band signatures over
         # replicate//2 × the synthetic page corpus (bench: 300k texts at
