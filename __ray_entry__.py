@@ -688,7 +688,10 @@ def _q_graph_summary(sf_dir: str):
     reciprocity, Newman degree assortativity, wedge + triangle counts
     and global transitivity — each still computed by its own distributed
     pipeline (combiner groupby / engine moments / triangle join)."""
+    import pyarrow.parquet as _pq
+
     from ppagerank_ray.algos.structure import (
+        attribute_assortativity,
         degree_assortativity,
         pseudo_diameter,
         wedge_count,
@@ -702,6 +705,18 @@ def _q_graph_summary(sf_dir: str):
     pd_info = pseudo_diameter(eng, seed=BFS_SEED)
     eng.shutdown()
     tri = triangle_count(gt.edges, gt.n_vertices)
+    # language mixing: vertex i < n_docs carries documents.lang[i]
+    # (page url == doc id by construction); externals are unlabeled
+    dt = _pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    langs = sorted(set(dt["lang"].to_pylist()))
+    lcode = {l: i for i, l in enumerate(langs)}
+    codes = np.full(gt.n_vertices, -1, np.int64)
+    codes[dt["doc_id"].to_numpy()] = [
+        lcode[l] for l in dt["lang"].to_pylist()
+    ]
+    _, intra, lr = attribute_assortativity(gt.edges, codes, len(langs))
     return pa.Table.from_pydict(
         {
             "n_reciprocal": recip["n_reciprocal"],
@@ -714,6 +729,8 @@ def _q_graph_summary(sf_dir: str):
                 [round(3.0 * tri / wedges, 6) if wedges else None], pa.float64()
             ),
             "pseudo_diameter": pa.array([pd_info["value"]], pa.int64()),
+            "n_intra_lang": pa.array([intra], pa.int64()),
+            "lang_assortativity": pa.array([lr], pa.float64()),
         }
     )
 
@@ -3193,7 +3210,31 @@ SELECT (SELECT c FROM recip) AS n_reciprocal,
        (SELECT w FROM wedges) AS n_wedges,
        (SELECT t FROM tri) AS n_triangles,
        round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6) AS transitivity,
-       ({_pseudo_diam_sql(BFS_ITERS, BFS_SEED)}) AS pseudo_diameter
+       ({_pseudo_diam_sql(BFS_ITERS, BFS_SEED)}) AS pseudo_diameter,
+       (SELECT coalesce(sum(CASE WHEN ls.lang = ld.lang THEN 1 ELSE 0 END), 0)::BIGINT
+        FROM edges e JOIN documents ls ON e.src = ls.doc_id
+                     JOIN documents ld ON e.dst = ld.doc_id) AS n_intra_lang,
+       -- Newman categorical assortativity over lang-labeled edges:
+       -- exact integer trace/rowsum/colsum, ONE float expression with
+       -- the identical parenthesization as algos/structure.py, half-up
+       (WITH lmix AS (
+          SELECT ls.lang AS sl, ld.lang AS dl, count(*)::BIGINT AS n
+          FROM edges e JOIN documents ls ON e.src = ls.doc_id
+                       JOIN documents ld ON e.dst = ld.doc_id
+          GROUP BY 1, 2),
+        lt AS (SELECT sum(n)::BIGINT AS t FROM lmix),
+        ltr AS (SELECT coalesce(sum(CASE WHEN sl = dl THEN n END), 0)::BIGINT AS d FROM lmix),
+        lab AS (SELECT sum(a.n * b.n)::BIGINT AS s FROM
+          (SELECT sl, sum(n)::BIGINT AS n FROM lmix GROUP BY sl) a JOIN
+          (SELECT dl, sum(n)::BIGINT AS n FROM lmix GROUP BY dl) b ON a.sl = b.dl)
+        SELECT floor(
+          (((SELECT d FROM ltr)::DOUBLE / (SELECT t FROM lt)::DOUBLE
+            - (SELECT s FROM lab)::DOUBLE
+              / ((SELECT t FROM lt)::DOUBLE * (SELECT t FROM lt)::DOUBLE))
+           / (1.0 - (SELECT s FROM lab)::DOUBLE
+              / ((SELECT t FROM lt)::DOUBLE * (SELECT t FROM lt)::DOUBLE)))
+          * 1000000.0 + 0.5) / 1000000.0
+       ) AS lang_assortativity
 FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
         "degree_distributions": f"""WITH {_GRAPH_CTES},
 ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)

@@ -29,7 +29,9 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pyarrow as pa
 import ray
+import ray.data as rd
 
 from ppagerank_ray.engine.vertex_engine import VertexEngine
 
@@ -212,3 +214,62 @@ def pseudo_diameter(engine: VertexEngine, seed: int = 0) -> dict:
         "endpoint": int(best_id),
         "first_sweep_ecc": int(best_d),
     }
+
+
+def attribute_assortativity(
+    edges: rd.Dataset, attr_codes: np.ndarray, n_codes: int
+) -> tuple[np.ndarray, int, float]:
+    """Newman's categorical assortativity coefficient (Newman, "Mixing
+    patterns in networks", PRE 67, 2003) over DIRECTED edges whose both
+    endpoints carry a code ≥ 0 (−1 = unlabeled, e.g. external urls —
+    those edges are excluded, matching networkx's
+    attribute_assortativity_coefficient on the labeled subgraph).
+
+    attr_codes is a vertex-aligned int array broadcast once (ray.put —
+    an O(V) small-dtype array, the same budget class as the degree
+    broadcast in triangles); each batch bincounts its (src_code,
+    dst_code) cells, so only k×k-integer partials shuffle. Returns
+    (k×k mixing-count matrix, intra-class edge count, r) with r derived
+    from exact integer sums by one fixed float expression — replayed
+    verbatim in the SQL oracle."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(attr_codes))
+    k = int(n_codes)
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes = ray.get(ref)
+        s = codes[t["src"].to_numpy()]
+        d = codes[t["dst"].to_numpy()]
+        m = (s >= 0) & (d >= 0)
+        cnt = np.bincount(
+            s[m].astype(np.int64) * k + d[m], minlength=k * k
+        ).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"cell": np.arange(k * k, dtype=np.int64), "n": cnt}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    mix = np.zeros(k * k, np.int64)
+    for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows:
+            mix[t["cell"].to_numpy()] += t["n"].to_numpy()
+    mix = mix.reshape(k, k)
+    total = int(mix.sum())
+    trace = int(np.trace(mix))
+    if total == 0:
+        return mix, 0, 0.0
+    rows = mix.sum(axis=1)
+    cols = mix.sum(axis=0)
+    s_ab = int((rows * cols).sum())  # exact int64
+    t_f = float(total)
+    sum_ab = float(s_ab) / (t_f * t_f)
+    r = (float(trace) / t_f - sum_ab) / (1.0 - sum_ab)
+    return mix, trace, float(np.floor(r * 1e6 + 0.5) / 1e6)

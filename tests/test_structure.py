@@ -393,3 +393,46 @@ def test_truss_triangle_and_empty():
     dst = [j for i in range(4) for j in range(i + 1, 4)]
     sup_ds, surv_ds, _ = edge_support_and_truss(_edges_ds(src, dst), 4, k=4)
     assert surv_ds.count() == 6
+
+
+def test_attribute_assortativity_matches_networkx():
+    from ppagerank_ray.algos.structure import attribute_assortativity
+
+    rng = np.random.default_rng(67)
+    n = 80
+    labels = rng.integers(0, 3, n)
+    # homophilous edges: mostly within-label
+    src, dst = [], []
+    for _ in range(400):
+        a = int(rng.integers(0, n))
+        pool = np.flatnonzero(labels == labels[a]) if rng.random() < 0.8 \
+            else np.arange(n)
+        b = int(rng.choice(pool))
+        src.append(a)
+        dst.append(b)
+    ds = _edges_ds(src, dst)
+    mix, intra, r = attribute_assortativity(
+        ds, labels.astype(np.int64), 3
+    )
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from(zip(src, dst))
+    # networkx counts each distinct directed edge once — dedup ours too
+    es = sorted(set(zip(src, dst)))
+    ds2 = _edges_ds([a for a, _ in es], [b for _, b in es])
+    mix2, intra2, r2 = attribute_assortativity(
+        ds2, labels.astype(np.int64), 3
+    )
+    for v, lab in enumerate(labels):
+        g.nodes[v]["lab"] = int(lab)
+    expect = nx.attribute_assortativity_coefficient(g, "lab")
+    assert abs(r2 - expect) < 1e-6
+    assert intra2 == sum(1 for a, b in es if labels[a] == labels[b])
+    assert mix2.sum() == len(es)
+    # unlabeled vertices (-1) are excluded
+    labels3 = labels.astype(np.int64).copy()
+    labels3[:10] = -1
+    mix3, intra3, _ = attribute_assortativity(ds2, labels3, 3)
+    assert mix3.sum() == sum(
+        1 for a, b in es if labels3[a] >= 0 and labels3[b] >= 0
+    )
