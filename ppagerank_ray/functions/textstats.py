@@ -703,10 +703,11 @@ def dup_ngram_stats(
         if len(hit) == 0:
             n_dup = np.zeros(len(n_grams), np.int64)
         else:
-            # reduceat returns hit[idx] (not 0) for empty segments and
-            # rejects idx == len — clamp, then zero the empty docs
-            idx = np.minimum(offs[:-1], len(hit) - 1)
-            n_dup = np.add.reduceat(hit, idx) * (n_grams > 0)
+            # exact segment sums via prefix sums — reduceat with clamped
+            # offsets truncates the last non-empty doc's segment when the
+            # batch ends with zero-gram docs
+            cs = np.concatenate([[0], np.cumsum(hit)])
+            n_dup = cs[offs[1:]] - cs[offs[:-1]]
         return _finalize(t["doc_id"], n_grams, n_dup)
 
     if n_dup_keys <= gate:
@@ -834,8 +835,11 @@ def unigram_nll(docs: rd.Dataset, max_broadcast_terms: int = 0) -> rd.Dataset:
         nll_micro = np.zeros(len(ids), np.int64)
         if qlog is not None and len(qlog):
             offs = np.concatenate([[0], np.cumsum(counts)])
-            idx = np.minimum(offs[:-1], len(qlog) - 1)
-            nll_micro = -np.add.reduceat(qlog, idx) * (counts > 0)
+            # exact segment sums via prefix sums (clamped reduceat drops
+            # the final token of the last non-empty doc when trailing
+            # docs in the batch have zero tokens)
+            cs = np.concatenate([[0], np.cumsum(qlog)])
+            nll_micro = -(cs[offs[1:]] - cs[offs[:-1]])
         nll = np.zeros(len(ids), np.float64)
         nz = counts > 0
         nll[nz] = _round6_half_up(nll_micro[nz] / (counts[nz] * 1e6))

@@ -1043,3 +1043,54 @@ def test_unigram_nll_matches_bruteforce_both_paths():
             )
         )
         del common  # trained per-call; relative ordering checked above
+
+
+def test_trailing_empty_docs_segment_sums():
+    """Regression: a batch ending in zero-gram/zero-token docs must not
+    truncate the PREVIOUS doc's segment (clamped-reduceat bug: the last
+    non-empty doc lost its final gram/token contribution)."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ppagerank_ray.functions.textstats import (
+        _tokens,
+        dup_ngram_stats,
+        unigram_nll,
+    )
+
+    # doc 0 and doc 1 share both trigrams; docs 2-3 are empty and LAST,
+    # so the whole table is one batch ending in zero-gram docs
+    texts = ["aa bb cc dd", "aa bb cc dd", "", "x"]
+    docs = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"doc_id": np.arange(4, dtype=np.int64), "text": texts}
+        )
+    )
+    out = (
+        dup_ngram_stats(docs, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # both trigrams of doc 0/1 are duplicated — including the FINAL one
+    assert out["n_dup_grams"].tolist() == [2, 2, 0, 0]
+    assert out["n_grams"].tolist() == [2, 2, 0, 0]
+
+    nll = (
+        unigram_nll(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cnt = Counter(tok for x in texts for tok in _tokens(x))
+    tot = sum(cnt.values())
+    exp = [
+        -sum(
+            math.floor(math.log(cnt[tok] / tot) * 1e6 + 0.5)
+            for tok in _tokens(x)
+        )
+        for x in texts
+    ]
+    assert nll["nll_micro"].tolist() == exp
