@@ -1073,7 +1073,7 @@ ch1 AS (SELECT min(vec_id) AS vid, 0::BIGINT AS c FROM embeddings)""",
             f""", md{j} AS MATERIALIZED (
   SELECT vec_id, min(d2) AS best FROM (
     SELECT a2.vec_id, ch.vid,
-           sum((a2.v - b.v) * (a2.v - b.v)) AS d2
+           CAST(sum((a2.v - b.v) * (a2.v - b.v)) AS BIGINT) AS d2
     FROM eq a2 CROSS JOIN ch{j-1} ch
     JOIN eq b ON b.vec_id = ch.vid AND b.d = a2.d
     GROUP BY a2.vec_id, ch.vid)
@@ -1092,7 +1092,8 @@ ch1 AS (SELECT min(vec_id) AS vid, 0::BIGINT AS c FROM embeddings)""",
     for t in range(1, iters + 2):
         parts.append(
             f""", dist{t} AS MATERIALIZED (
-  SELECT e.vec_id, ct.c, sum((e.v - ct.val) * (e.v - ct.val)) AS d2
+  SELECT e.vec_id, ct.c,
+         CAST(sum((e.v - ct.val) * (e.v - ct.val)) AS BIGINT) AS d2
   FROM eq e JOIN cent{t-1} ct ON e.d = ct.d GROUP BY e.vec_id, ct.c
 ), asn{t} AS MATERIALIZED (
   SELECT vec_id, c, d2 FROM (
