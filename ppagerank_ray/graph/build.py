@@ -283,14 +283,12 @@ def attach_weights(edges: rd.Dataset, n_vertices: int) -> rd.Dataset:
     if n_vertices > BROADCAST_MAX_VERTICES:
         from ppagerank_ray.ops.joins import hash_join
 
-        def inv_weight(t):
-            import pandas as pd
-
-            t["weight"] = 1.0 / t["count()"]
-            return t[["src", "dst", "weight"]]
+        def inv_weight(t: pa.Table) -> pa.Table:
+            w = pc.divide(1.0, pc.cast(t["count()"], pa.float64()))
+            return t.select(["src", "dst"]).append_column("weight", w)
 
         joined = hash_join(edges, outdeg_tbl, "src", "src", how="inner")
-        return joined.map_batches(inv_weight, batch_format="pandas")
+        return joined.map_batches(inv_weight, batch_format="pyarrow")
     parts = [t for t in ray.get(outdeg_tbl.to_arrow_refs()) if t.num_rows]
     outdeg = np.zeros(n_vertices, dtype=np.float64)
     for t in parts:

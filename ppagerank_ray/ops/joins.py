@@ -61,11 +61,17 @@ def hash_join(
     right_key: str,
     n_buckets: int = 64,
     how: str = "inner",
+    impl: str = "arrow",
 ) -> rd.Dataset:
     """Join two Datasets on string keys via B-bucket co-shuffle.
 
     Output columns = left columns + right columns minus right_key (pandas
-    merge semantics). One groupby shuffle over the union of both sides."""
+    merge semantics). One groupby shuffle over the union of both sides.
+
+    impl="arrow" (default) merges each bucket with pyarrow.Table.join —
+    zero-copy from the object store, no string boxing; overlapping
+    non-key columns get the same ("", "_r") suffixes pandas used.
+    impl="pandas" keeps the original pandas merge as a tested fallback."""
 
     def tag(side: int, key: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -104,13 +110,38 @@ def hash_join(
     lt = lt.map_batches(canon([c for c in rcols if c not in lcols]), batch_format="pyarrow")
     rt = rt.map_batches(canon([c for c in lcols if c not in rcols]), batch_format="pyarrow")
 
-    # each side's rows carry NULLs in the OTHER side's columns, which makes
-    # pandas upcast sliced int columns to float64; cast back to each
-    # column's ORIGINAL integer dtype so (a) join keys compare as ints and
-    # (b) the output schema matches the inputs — without this a chained
-    # hash_join re-buckets float keys and loses rows. (Int values must
-    # survive a float64 round-trip, i.e. |v| ≤ 2^53 — use string keys for
-    # raw 64-bit hashes.)
+    if impl == "arrow":
+        import pyarrow.compute as pc
+
+        join_type = {"inner": "inner", "left": "left outer"}[how]
+
+        def merge_bucket_arrow(g: pa.Table) -> pa.Table:
+            side = g["__side"]
+            lf = g.filter(pc.equal(side, 0)).select(lcols)
+            rf = g.filter(pc.equal(side, 1)).select(rcols)
+            # Table.join drops the right key when names differ and keeps
+            # one coalesced key when they match — exactly the pandas-merge
+            # output contract documented above
+            return lf.join(
+                rf,
+                keys=left_key,
+                right_keys=right_key,
+                join_type=join_type,
+                left_suffix="",
+                right_suffix="_r",
+            )
+
+        return lt.union(rt).groupby("__bucket").map_groups(
+            merge_bucket_arrow, batch_format="pyarrow"
+        )
+
+    # pandas fallback. Each side's rows carry NULLs in the OTHER side's
+    # columns, which makes pandas upcast sliced int columns to float64;
+    # cast back to each column's ORIGINAL integer dtype so (a) join keys
+    # compare as ints and (b) the output schema matches the inputs —
+    # without this a chained hash_join re-buckets float keys and loses
+    # rows. (Int values must survive a float64 round-trip, i.e.
+    # |v| ≤ 2^53 — use string keys for raw 64-bit hashes.)
     int_cols = {
         c: types[c].to_pandas_dtype() for c in types if pa.types.is_integer(types[c])
     }
@@ -149,18 +180,20 @@ def map_links_via_hash_join(
     )
     j1 = hash_join(links, v, "src_url", "url", n_buckets)
     j1 = j1.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {"src": t["id"].to_numpy().astype("int64"), "dst_url": t["dst_url"]}
+        lambda t: pa.Table.from_arrays(
+            [t["id"].cast(pa.int64()).combine_chunks(), t["dst_url"].combine_chunks()],
+            names=["src", "dst_url"],
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     j2 = hash_join(j1, v, "dst_url", "url", n_buckets)
     return j2.map_batches(
-        lambda t: pa.Table.from_pydict(
-            {
-                "src": t["src"].to_numpy().astype("int64"),
-                "dst": t["id"].to_numpy().astype("int64"),
-            }
+        lambda t: pa.Table.from_arrays(
+            [
+                t["src"].cast(pa.int64()).combine_chunks(),
+                t["id"].cast(pa.int64()).combine_chunks(),
+            ],
+            names=["src", "dst"],
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )

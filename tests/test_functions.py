@@ -1094,3 +1094,52 @@ def test_trailing_empty_docs_segment_sums():
         for x in texts
     ]
     assert nll["nll_micro"].tolist() == exp
+
+
+def test_hash_join_arrow_matches_pandas_impl():
+    """The Arrow-native bucket merge (default) must reproduce the pandas
+    fallback exactly: inner + left joins, string keys, duplicate keys,
+    unmatched rows, and overlapping non-key columns (pandas "", "_r"
+    suffixes)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ppagerank_ray.ops.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{int(i)}" for i in rng.integers(0, 20, 200)]
+    left = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "k": keys,
+                "x": rng.integers(0, 100, 200),
+                "tag": rng.integers(0, 3, 200),  # overlaps right's "tag"
+            }
+        )
+    )
+    rkeys = [f"k{int(i)}" for i in rng.integers(5, 25, 60)]
+    right = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "rk": rkeys,
+                "y": rng.integers(0, 100, 60),
+                "tag": rng.integers(0, 3, 60),
+            }
+        )
+    )
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].astype("float64") if df[c].dtype != object else df[c]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    for how in ("inner", "left"):
+        a = hash_join(left, right, "k", "rk", n_buckets=7, how=how).to_pandas()
+        p = hash_join(
+            left, right, "k", "rk", n_buckets=7, how=how, impl="pandas"
+        ).to_pandas()
+        assert sorted(a.columns) == sorted(p.columns) == [
+            "k", "tag", "tag_r", "x", "y",
+        ]
+        pd.testing.assert_frame_equal(canon(a), canon(p))
