@@ -165,7 +165,12 @@ def edge_support_and_truss(
     """→ (full-graph support Dataset, surviving k-truss pair Dataset,
     rounds) — everything stays a Dataset; the driver only ever sees
     round counts. Support rows cover only pairs with support > 0;
-    absent pairs have support 0 (peeled immediately for k > 2)."""
+    absent pairs have support 0 (peeled immediately for k > 2). k < 3
+    is rejected: at bar = 0 the survivor set is rebuilt from the
+    support table, which omits support-0 edges, so the answer would be
+    wrong (the 2-truss is just the whole graph — no peeling needed)."""
+    if k < 3:
+        raise ValueError(f"k-truss requires k >= 3 (got k={k})")
     pairs = canonical_pairs(edges).materialize()
     support0 = _support_of_pairs(pairs, n_vertices).materialize()
     bar = k - 2

@@ -550,7 +550,14 @@ class _VertexWorker:
         bijection mod 2^64 (K odd) and the splitmix64 finalizer is a
         permutation, so priorities are globally UNIQUE — no ties ever.
         The single value equal to the INT64_MAX min-identity sentinel is
-        clamped to INT64_MAX−1 (mirrored bit-for-bit in the SQL oracle)."""
+        clamped to INT64_MAX−1 (mirrored bit-for-bit in the SQL oracle).
+        Residual tie: the clamp can collide with a vertex genuinely
+        hashing to INT64_MAX−1 (probability ~2^-63 per pair of adjacent
+        vertices); two tied neighbors would then never join and the
+        round loop hits max_rounds and raises rather than returning a
+        wrong set. Accepted: the SQL oracle replays the identical clamp,
+        so conformance is unaffected, and changing the encoding would
+        break every recorded oracle."""
         from ppagerank_ray.algos.anf import splitmix64
 
         ids = np.arange(self.vlo, self.vhi, dtype=np.uint64)
@@ -593,6 +600,17 @@ class _VertexWorker:
     # [c == comm(v)]), ties → smallest community id. Communities are
     # vertex ids (< V), so the e_{v,c} histograms reuse lp_partials'
     # packed keys unchanged.
+    #
+    # Known limitation (accepted): the stagger separates only OPPOSITE-
+    # parity vertices; two adjacent SAME-parity vertices still move
+    # simultaneously within a round, so pairwise label oscillation and
+    # modularity-decreasing swaps remain possible inside a parity class
+    # on adversarial graphs (fixed round count bounds the damage; the
+    # planted-partition quality test guards the common case). The rule
+    # is deterministic and replayed verbatim by the SQL oracle, so any
+    # change (e.g. staggering on parity(splitmix64(id)) XOR round) would
+    # invalidate every recorded oracle — quality tweaks belong behind a
+    # new seed/mode, not a silent semantic change.
 
     def louvain_init(self, deg_name: str = "core"):
         """comm = own id; per-vertex degree copied from `deg_name` (the
@@ -609,27 +627,16 @@ class _VertexWorker:
         starts = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1])
         return cs[starts], np.add.reduceat(ds, starts)
 
-    def louvain_reduce(
-        self, refs: list, vol_ref, rnd: int, twom: int, seed: int
-    ) -> int:
-        """One staggered move round. refs = lp_partials histograms of the
-        current communities; vol_ref = broadcast (sorted comms, vols).
-        Returns number of local vertices that changed community."""
-        from ppagerank_ray.algos.anf import splitmix64
-
+    def _louvain_merge_candidates(self, refs: list):
+        """Merge lp_partials histograms + own-community zero-edge rows into
+        candidate rows (local vertex, community, edge count) sorted by
+        (vertex, community)."""
         keys_all, cnt_all = [], []
-        ref_idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
-        if ref_idx:
-            got = ray.get([refs[i] for i in ref_idx])
-            refs = list(refs)
-            for i, g in zip(ref_idx, got):
-                refs[i] = g
-        for pair in refs:
+        for pair in self._resolve_refs(refs):
             if pair is not None:
                 keys_all.append(pair[0])
                 cnt_all.append(pair[1])
         comm = self.ivecs["lv_comm"]
-        deg = self.ivecs["lv_deg"]
         V = np.int64(self.vb[-1])
         if keys_all:
             keys = np.concatenate(keys_all)
@@ -658,8 +665,16 @@ class _VertexWorker:
         ac = np.concatenate([hc, comm[miss]])
         ae = np.concatenate([cnts, np.zeros(int(miss.sum()), np.int64)])
         order = np.lexsort((ac, av))
-        av, ac, ae = av[order], ac[order], ae[order]
-        # exact integer score per candidate row
+        return av[order], ac[order], ae[order]
+
+    def louvain_reduce(
+        self, refs: list, vol_ref, rnd: int, twom: int, seed: int
+    ) -> int:
+        """One staggered move round (broadcast-volume path). refs =
+        lp_partials histograms of the current communities; vol_ref =
+        broadcast (sorted comms, vols). Returns number of local vertices
+        that changed community."""
+        av, ac, ae = self._louvain_merge_candidates(refs)
         # vol_ref arrives auto-dereferenced (bare ObjectRef task arg)
         vols_c, vols_v = vol_ref
         if len(vols_c):
@@ -668,6 +683,16 @@ class _VertexWorker:
             vol = np.where(vols_c[pos] == ac, vols_v[pos], 0).astype(np.int64)
         else:
             vol = np.zeros(len(ac), np.int64)
+        return self._louvain_move(av, ac, ae, vol, rnd, twom, seed)
+
+    def _louvain_move(self, av, ac, ae, vol, rnd: int, twom: int, seed: int) -> int:
+        """Score candidates with exact integer modularity gain and apply
+        the parity-staggered moves."""
+        from ppagerank_ray.algos.anf import splitmix64
+
+        comm = self.ivecs["lv_comm"]
+        deg = self.ivecs["lv_deg"]
+        own_v = np.arange(self.size, dtype=np.int64)
         dv = deg[av]
         own_mask = ac == comm[av]
         score = (
@@ -697,6 +722,103 @@ class _VertexWorker:
         moved = int((new != comm).sum())
         self.ivecs["lv_comm"] = new
         return moved
+
+    # ---- vertex-aligned community volumes (beyond-broadcast path) ----
+    # Communities are labeled by vertex ids, so the volume vector is
+    # vertex-aligned: vol(c) lives on the OWNER of vertex c. Per round:
+    # (1) owners rebuild their lv_vol slice from sharded (comm, Σdeg)
+    # partials, (2) each worker merges its candidate histograms and asks
+    # each owner for the volumes of its distinct candidate communities,
+    # (3) owners answer from the dense slice, (4) the move applies.
+    # Driver state is O(P) object refs — no community table ever leaves
+    # the workers.
+
+    def louvain_deg_total(self) -> int:
+        """Σ local degrees — the O(1)-per-worker 2m contribution."""
+        return int(self.ivecs["lv_deg"].sum())
+
+    def louvain_vol_sharded(self):
+        """(community, Σ deg over local members) pairs PARTITIONED BY the
+        community id's owner rank (vbounds)."""
+        comm = self.ivecs["lv_comm"]
+        deg = self.ivecs["lv_deg"]
+        order = np.argsort(comm, kind="stable")
+        cs, ds = comm[order], deg[order]
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(cs)) + 1]) if len(
+            cs
+        ) else np.empty(0, np.int64)
+        if len(cs):
+            cs = cs[starts]
+            vs = np.add.reduceat(ds, starts)
+        else:
+            vs = np.empty(0, np.int64)
+        qb = np.searchsorted(cs, self.vb)
+        out = [
+            None if qb[q + 1] == qb[q] else (cs[qb[q] : qb[q + 1]], vs[qb[q] : qb[q + 1]])
+            for q in range(self.P)
+        ]
+        return out[0] if self.P == 1 else tuple(out)
+
+    def louvain_vol_reduce(self, refs: list):
+        """lv_vol[c − vlo] := Σ sharded partials — the dense owned slice
+        of the community-volume vector."""
+        vol = np.zeros(self.size, np.int64)
+        idx_all, val_all = [], []
+        for pair in self._resolve_refs(refs):
+            if pair is not None:
+                idx_all.append(pair[0] - self.vlo)
+                val_all.append(pair[1])
+        if idx_all:
+            idx = np.concatenate(idx_all)
+            val = np.concatenate(val_all)
+            order = np.argsort(idx, kind="stable")
+            idx_s, val_s = idx[order], val[order]
+            starts = np.concatenate([[0], np.flatnonzero(np.diff(idx_s)) + 1])
+            vol[idx_s[starts]] = np.add.reduceat(val_s, starts)
+        self.ivecs["lv_vol"] = vol
+
+    def louvain_candidates(self, refs: list):
+        """Merge this round's histograms, stash the candidate rows, and
+        return per-owner sorted DISTINCT candidate community ids (the
+        volume-gather requests)."""
+        av, ac, ae = self._louvain_merge_candidates(refs)
+        self._lv_cand = (av, ac, ae)
+        uc = np.unique(ac)
+        qb = np.searchsorted(uc, self.vb)
+        out = [
+            None if qb[q + 1] == qb[q] else uc[qb[q] : qb[q + 1]]
+            for q in range(self.P)
+        ]
+        return out[0] if self.P == 1 else tuple(out)
+
+    def louvain_vol_lookup(self, req_refs: list):
+        """Owner side of the volume gather: vols for each requester's
+        community ids, answered from the owned lv_vol slice."""
+        vol = self.ivecs["lv_vol"]
+        out = [
+            None if r is None else vol[r - self.vlo]
+            for r in self._resolve_refs(req_refs)
+        ]
+        return out[0] if self.P == 1 else tuple(out)
+
+    def louvain_move_gathered(
+        self, resp_refs: list, rnd: int, twom: int, seed: int
+    ) -> int:
+        """Apply the move round using gathered volumes. resp_refs[q] =
+        vols owner q returned for this worker's louvain_candidates
+        requests (positionally aligned with the sorted distinct ids)."""
+        av, ac, ae = self._lv_cand
+        self._lv_cand = None
+        uc = np.unique(ac)
+        qb = np.searchsorted(uc, self.vb)
+        vols_u = np.zeros(len(uc), np.int64)
+        resp = self._resolve_refs(resp_refs)
+        for q in range(self.P):
+            if qb[q + 1] > qb[q] and resp[q] is not None:
+                vols_u[qb[q] : qb[q + 1]] = resp[q]
+        vol = vols_u[np.searchsorted(uc, ac)] if len(uc) else np.zeros(0, np.int64)
+        return self._louvain_move(av, ac, ae, vol, rnd, twom, seed)
+
     # Round: new(v) = splitmix64(old(v)·K2 + H(v)) where H(v) is an
     # order-canonical polynomial hash of the SORTED neighbor (label,
     # count) multiset — Σ x_i · COEF^(m−1−i) mod 2^64 with

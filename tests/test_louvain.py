@@ -15,7 +15,7 @@ from ppagerank_ray.graph.build import build_undirected
 nx = pytest.importorskip("networkx")
 
 
-def _run(src, dst, n, P, rounds=8):
+def _run(src, dst, n, P, rounds=8, volumes="auto"):
     eng = VertexEngine(n, P)
     eng.load_undirected(
         build_undirected(
@@ -29,7 +29,7 @@ def _run(src, dst, n, P, rounds=8):
             )
         )
     )
-    info = louvain_communities(eng, rounds=rounds)
+    info = louvain_communities(eng, rounds=rounds, volumes=volumes)
     comm = eng.to_array("lv_comm", integer=True)
     eng.shutdown()
     return comm, info
@@ -91,6 +91,24 @@ def test_louvain_matches_sequential_replay(P):
     dst = rng.integers(0, n, 420)
     comm, _ = _run(src, dst, n, P)
     assert (comm == _ref(src, dst, n, 8)).all()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_louvain_engine_volumes_match_broadcast(P):
+    """The vertex-aligned volume path (sharded scatter-reduce + distinct-
+    candidate gather, no driver community table) must move bit-identically
+    to the broadcast path — and both must match the sequential replay."""
+    rng = np.random.default_rng(61)
+    n = 150
+    src = rng.integers(0, n, 420)
+    dst = rng.integers(0, n, 420)
+    cb, ib = _run(src, dst, n, P, volumes="broadcast")
+    ce, ie = _run(src, dst, n, P, volumes="engine")
+    assert ib["volumes"] == "broadcast" and ie["volumes"] == "engine"
+    assert ib["moved_total"] == ie["moved_total"]
+    assert ib["two_m"] == ie["two_m"]
+    assert (cb == ce).all()
+    assert (ce == _ref(src, dst, n, 8)).all()
 
 
 def test_louvain_improves_modularity_on_planted_partition():

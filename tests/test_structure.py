@@ -436,3 +436,17 @@ def test_attribute_assortativity_matches_networkx():
     assert mix3.sum() == sum(
         1 for a, b in es if labels3[a] >= 0 and labels3[b] >= 0
     )
+
+
+def test_truss_rejects_k_below_3():
+    """k < 3 would silently drop support-0 edges from the survivor set
+    (the 2-truss is the whole graph); the operator must refuse."""
+    from ppagerank_ray.algos.truss import edge_support_and_truss
+
+    ds = rd.from_arrow(
+        pa.Table.from_pydict(
+            {"src": np.array([0], np.int64), "dst": np.array([1], np.int64)}
+        )
+    )
+    with pytest.raises(ValueError, match="k >= 3"):
+        edge_support_and_truss(ds, 2, k=2)
