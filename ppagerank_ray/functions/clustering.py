@@ -17,8 +17,9 @@ partitioning / execution order AND replayable verbatim in SQL:
   seed 0 is the smallest vec_id; each next seed maximizes the exact
   integer min-distance to the chosen set, ties to the smallest vec_id.
   One streaming pass per seed — each batch emits its best candidate
-  (max min-d2) WITH the winning quantized vector, so the driver picks
-  the global best from ≤ #batches rows and never re-reads the corpus.
+  (max min-d2) WITH the winning quantized vector; a distributed
+  sort+limit(1) over the ≤ #batches candidate rows picks the global
+  best, so neither the corpus nor the candidate set reaches the driver.
 
 Scale shape: one streaming assign+partial-sums pass per iteration —
 each batch emits a (k × d)-row partial (cluster, dim, sum, count),
@@ -59,9 +60,11 @@ def _assign(Xq: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def kmeans_exact(
     emb: rd.Dataset, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> pa.Table:
-    """(vec_id, cluster, d2) after `iters` Lloyd updates + one final
-    assignment against the updated centroids."""
+) -> rd.Dataset:
+    """(vec_id, cluster, d2) Dataset, vec_id-sorted, after `iters` Lloyd
+    updates + one final assignment against the updated centroids. The
+    assignment is returned as a STREAMING Dataset — materialization is
+    the caller's choice; nothing corpus-sized touches the driver."""
     import ray
 
     from ppagerank_ray.functions.similarity import _unpack_batch
@@ -86,21 +89,16 @@ def kmeans_exact(
                 }
             )
 
-        ct = pa.concat_tables(
-            [
-                b
-                for b in ray.get(
-                    emb.map_batches(
-                        candidate, batch_format="pyarrow", batch_size=4096
-                    ).to_arrow_refs()
-                )
-                if b.num_rows
-            ]
-        )
-        ids_c = ct["vec_id"].to_numpy()
-        d2_c = ct["d2"].to_numpy()
-        j = int(np.lexsort((ids_c, -d2_c))[0])
-        C = np.vstack([C, np.asarray(ct["vec"][j].as_py(), np.int64)])
+        # global best (max d2, ties → min vec_id) via a distributed
+        # sort+limit over the ≤ #batches candidate rows — the reduce
+        # never pulls the candidate set to the driver
+        best = (
+            emb.map_batches(candidate, batch_format="pyarrow", batch_size=4096)
+            .sort(["d2", "vec_id"], descending=[True, False])
+            .limit(1)
+            .take(1)
+        )[0]
+        C = np.vstack([C, np.asarray(best["vec"], np.int64)])
 
     for _ in range(iters):
         cref = ray.put(C)
@@ -156,6 +154,4 @@ def kmeans_exact(
         )
 
     out = emb.map_batches(final_assign, batch_format="pyarrow", batch_size=4096)
-    return pa.concat_tables(
-        [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
-    ).sort_by("vec_id")
+    return out.sort("vec_id")
