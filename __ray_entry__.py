@@ -1966,7 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     neighborhood_function, ann_methods, media_decoded) are
     convergence-driven or approximate by design, with conformance
     pytest-owned."""
-    return {
+    q: dict[str, Callable[[str], Any]] = {
         # pages / extraction
         "pages_meta": _q_pages_meta,
         "text_invariant": _q_text_invariant,
@@ -2026,6 +2026,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "event_sessions": _q_event_sessions,
         "sliding_window": _q_sliding_window,
+    }
+    # Machine-readable conformance pointers for the 4 rows-only entries
+    # (round-4 VERDICT item 8): each names the pytest oracle that owns its
+    # correctness and what that test asserts, attached as a `pytest_oracle`
+    # attribute on the callable so the driver can surface it instead of a
+    # bare err="no_oracle". query_metadata() returns the same mapping.
+    for name, note in PYTEST_ORACLES.items():
+        q[name].pytest_oracle = note
+    return q
+
+
+PYTEST_ORACLES: dict[str, str] = {
+    "pagerank_solvers": (
+        "tests/test_pagerank.py::test_inner_outer_converges_to_power_fixpoint"
+        " + ::test_arnoldi_converges_to_power_fixpoint — inner-outer and"
+        " Arnoldi(k=8) reach the SAME alpha=0.85 fixpoint as power"
+        " iteration to <1e-8 L1 (convergence-driven iteration counts make"
+        " the row values oracle-incomparable, the fixpoint is not)"
+    ),
+    "neighborhood_function": (
+        "tests/test_anf.py::test_hyperanf_sf_tiny +"
+        " ::test_neighborhood_function_effective_diameter_path +"
+        " ::test_hyperanf_deterministic_across_partitions — HyperANF N(r)"
+        " within HLL error of exact BFS ball sizes, exact effective"
+        " diameter on a path graph, bit-stable under repartitioning"
+    ),
+    "ann_methods": (
+        "tests/test_functions.py::test_ann_lsh_recall +"
+        " ::test_ann_ivf_recall(_on_clustered_data) — recall@10 vs the"
+        " exact brute-force top-k (approximate BY DESIGN; the exact path"
+        " is the SQL-oracled embedding_knn query)"
+    ),
+    "media_decoded": (
+        "tests/test_functions.py::test_media_codecs_roundtrip +"
+        " ::test_media_decode_real_stages — real netpbm/WAV decoders"
+        " roundtrip against the deterministic encoder; jpeg/png/mp4 raise"
+        " a named error (no codec libs in the sandbox)"
+    ),
+}
+
+
+def query_metadata() -> dict[str, dict]:
+    """Optional driver surface: per-query oracle metadata. Queries absent
+    from PYTEST_ORACLES are exact-SQL-oracled via oracle_sql()."""
+    return {
+        name: {"oracle": "pytest", "pytest_oracle": note}
+        for name, note in PYTEST_ORACLES.items()
     }
 
 

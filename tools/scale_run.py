@@ -11,6 +11,16 @@ Phases (PHASES env, comma list; default all):
   minhash    MinHash → LSH candidates → verified near-dup pairs over the
              documents table replicated 10× (clones carry a distinct
              suffix token, so clone-groups are near- not exact-dups)
+  betweenness  32-seed multi-source Brandes at `pages` scale — evidences
+             the (k,·) wave matrices' memory shape beyond sf0.1
+  greedy / truss / signatures / linkpred — see phase bodies
+
+Every run starts with bench.py's quiet gate (PPR_BENCH_NO_GATE=1 skips)
+and keeps bench.py's co-tenant sampler running: each emitted JSON line
+carries `co_tenant_p50` for ITS OWN wall-clock window plus the shared
+gate decision, so scale rows are born quiet-tagged (round-4 VERDICT
+item 7 — earlier BASELINE 10× tables mixed burst-inflated rows with
+quiet reruns and needed forensics to tell them apart).
 
 Usage: PHASES=e2e python tools/scale_run.py [replicate] [pages] [doc_copies]
 """
@@ -60,6 +70,13 @@ def main() -> None:
         os.environ.get("PHASES", "e2e,pagerank,minhash").split(",")
     )
 
+    from bench import _ContentionSampler, _quiet_gate
+
+    gate = _quiet_gate()
+    sampler = _ContentionSampler(interval=2.0)
+    sampler.start()
+    t_phase = time.time()
+
     import ray
 
     if not ray.is_initialized():
@@ -94,7 +111,11 @@ def main() -> None:
     T = max(1, ncpu // P)
 
     def emit(rec: dict) -> None:
+        nonlocal t_phase
         rec["rss_gib"] = rss_gib()
+        rec["co_tenant_p50"] = sampler.window_p50(t_phase, time.time())
+        rec["gate"] = gate
+        t_phase = time.time()
         print(json.dumps(rec), flush=True)
 
     if "e2e" in phases:
@@ -168,12 +189,16 @@ def main() -> None:
         t0 = time.time()
         n_und = geng.load_undirected(und, presorted=True)
         load_sec = round(time.time() - t0, 1)
+        from functools import partial
+
+        # louvain: the vertex-aligned volume path (round-5) — driver RSS
+        # must stay O(P) vs round-4's 1.88 GiB broadcast-table merge
         for name, fn in (
             ("mis", maximal_independent_set),
             ("matching", maximal_matching),
             ("coloring", greedy_coloring),
             ("wl", wl_refinement),
-            ("louvain", louvain_communities),
+            ("louvain", partial(louvain_communities, volumes="engine")),
         ):
             rec = {"phase": f"greedy_{name}", "pages": pages,
                    "und_edges": n_und, "load_sec": load_sec}
@@ -183,6 +208,34 @@ def main() -> None:
             rec.update({k: v for k, v in info.items() if k != "algorithm"})
             emit(rec)
         geng.shutdown()
+
+    if "betweenness" in phases:
+        # 32-seed multi-source Brandes on the formula graph at `pages`
+        # scale (round-4 VERDICT item 5): the evidence is the (k,·) wave
+        # matrices keeping worker memory flat and the per-level masked
+        # SpMV exchanges staying balanced — recorded via shuffle_profile
+        # + driver RSS like the greedy quintet
+        from ppagerank_ray.algos.betweenness import betweenness
+
+        nv = n_vertices_for(pages)
+        rec = {"phase": "betweenness", "pages": pages, "seeds": 32}
+        und = build_undirected(
+            synth_edges(pages, parallelism=ncpu * 4)
+        ).materialize()  # consumed twice (BFS + SpMV loads)
+        beng = VertexEngine(nv, num_partitions=P, n_threads=T)
+        t0 = time.time()
+        rec["und_edges"] = beng.load_undirected(und, presorted=True)
+        beng.load_directed(und)
+        rec["load_sec"] = round(time.time() - t0, 1)
+        seeds = [(s * 2654435761) % nv for s in range(32)]
+        t0 = time.time()
+        info = betweenness(beng, seeds=seeds)
+        rec["sec"] = round(time.time() - t0, 1)
+        rec["bfs_rounds_total"] = info["bfs_rounds_total"]
+        rec["wave"] = info["wave"]
+        rec["shuffle"] = beng.shuffle_profile()
+        beng.shutdown()
+        emit(rec)
 
     if "truss" in phases:
         # per-edge support + 4-truss peeling at `pages` scale — the
