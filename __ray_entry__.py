@@ -682,6 +682,21 @@ def _q_bfs_harmonic(sf_dir: str):
     )
 
 
+def _q_rich_club(sf_dir: str):
+    """Rich-club integers per distinct undirected degree k (round 5):
+    n_rich = #vertices with degree > k, e_rich = #undirected simple
+    edges with BOTH endpoints of degree > k. The classic coefficient
+    phi(k) = 2*e_rich/(n_rich*(n_rich-1)) (Zhou & Mondragon 2004) is a
+    ratio of the two emitted exact integers, so the result hashes
+    stably. Everything reduces to two ≤max-degree histograms via
+    per-batch np.unique combiners; see algos/richclub.py for the
+    broadcast-vs-hash-join degree-attach dual path."""
+    from ppagerank_ray.algos.richclub import rich_club
+
+    gt = _graph(sf_dir)
+    return rich_club(gt.edges, gt.n_vertices)
+
+
 def _q_graph_summary(sf_dir: str):
     """One-row structural summary (round-4 consolidation of the old
     reciprocity / assortativity / triangle_count queries): directed-edge
@@ -1986,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "vertex_structure": _q_vertex_structure,  # kcore + clustering
         "degree_distributions": _q_degree_distributions,  # out + in
+        "rich_club": _q_rich_club,  # (k, n_rich, e_rich) exact ints (r5)
         "graph_summary": _q_graph_summary,  # reciprocity+assortativity+tri
         "link_prediction": _q_link_prediction,  # CN/Adamic-Adar/Jaccard (r4)
         "bfs_harmonic": _q_bfs_harmonic,  # bfs_distance + harmonic (✓SQL)
@@ -3284,6 +3300,27 @@ SELECT (SELECT c FROM recip) AS n_reciprocal,
           * 1000000.0 + 0.5) / 1000000.0
        ) AS lang_assortativity
 FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
+        "rich_club": f"""WITH {_GRAPH_CTES},
+rcue AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+rcdeg AS MATERIALIZED (
+  SELECT v, count(*)::BIGINT AS d
+  FROM (SELECT a AS v FROM rcue UNION ALL SELECT b FROM rcue) GROUP BY v
+),
+rcdh AS MATERIALIZED (SELECT d, count(*)::BIGINT AS n FROM rcdeg GROUP BY d),
+rcem AS MATERIALIZED (
+  SELECT least(d1.d, d2.d) AS m, count(*)::BIGINT AS ne
+  FROM rcue JOIN rcdeg d1 ON rcue.a = d1.v JOIN rcdeg d2 ON rcue.b = d2.v
+  GROUP BY 1
+)
+SELECT rcdh.d AS k,
+  CAST(coalesce((SELECT sum(x.n) FROM rcdh x WHERE x.d > rcdh.d), 0) AS BIGINT)
+    AS n_rich,
+  CAST(coalesce((SELECT sum(e.ne) FROM rcem e WHERE e.m > rcdh.d), 0) AS BIGINT)
+    AS e_rich
+FROM rcdh""",
         "degree_distributions": f"""WITH {_GRAPH_CTES},
 ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)
 SELECT 'out' AS direction, outdeg AS degree, count(*)::BIGINT AS n_vertices
