@@ -44,6 +44,7 @@ HARM_SEEDS = 32  # sampled seeds for harmonic/betweenness estimators
 # 32 seeds × lcm < 2^53 keeps the numerator exact as a double
 HARM_LCM = 5354228880
 BFS_ITERS = 24  # min-plus rounds unrolled in SQL (≥ eccentricity(seed) at sf≤0.1; extra rounds are no-ops)
+PPR_PUSH_ROUNDS = 10  # synchronous integer-push rounds unrolled in SQL
 JACCARD_T = 0.7
 EMB_NEAR_T = 0.4
 KNN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -695,6 +696,20 @@ def _q_rich_club(sf_dir: str):
 
     gt = _graph(sf_dir)
     return rich_club(gt.edges, gt.n_vertices)
+
+
+def _q_ppr_push(sf_dir: str):
+    """Local personalized PageRank by batch-synchronous integer push
+    (round 5; Andersen-Chung-Lang 2006 re-expressed order-free): fixed
+    PPR_PUSH_ROUNDS of every-above-threshold-vertex pushes from the
+    max-degree seed, all mass in int64 pico-units with floor-division
+    remainders kept at the pusher, so sum(p)+sum(r) == 10^12 exactly and
+    DuckDB replays the schedule bit-for-bit (same unroll trick as the
+    betweenness oracle). See algos/pprpush.py."""
+    from ppagerank_ray.algos.pprpush import ppr_push
+
+    gt = _graph(sf_dir)
+    return ppr_push(gt.edges, gt.n_vertices, rounds=PPR_PUSH_ROUNDS)
 
 
 def _q_graph_summary(sf_dir: str):
@@ -2002,6 +2017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_structure": _q_vertex_structure,  # kcore + clustering
         "degree_distributions": _q_degree_distributions,  # out + in
         "rich_club": _q_rich_club,  # (k, n_rich, e_rich) exact ints (r5)
+        "ppr_push": _q_ppr_push,  # local PPR, integer ACL push (r5)
         "graph_summary": _q_graph_summary,  # reciprocity+assortativity+tri
         "link_prediction": _q_link_prediction,  # CN/Adamic-Adar/Jaccard (r4)
         "bfs_harmonic": _q_bfs_harmonic,  # bfs_distance + harmonic (✓SQL)
@@ -2885,6 +2901,66 @@ FROM hb{iters} GROUP BY id"""
     )
 
 
+def _ppr_push_sql(rounds: int) -> str:
+    """Bit-exact DuckDB replay of algos/pprpush.py's synchronous integer
+    push: the round loop unrolls into `rounds` CTE stages; every
+    division is DuckDB's integer `//` on the same non-negative int64
+    values numpy floor-divides, so the states are identical."""
+    from ppagerank_ray.algos.pprpush import ALPHA_DEN, ALPHA_NUM, EPS, SCALE
+
+    stages = []
+    prev = "pps0"
+    for i in range(1, rounds + 1):
+        stages.append(
+            f"""ppa{i} AS (
+  SELECT s.id, s.p, s.r, d.deg, (s.r >= d.deg * {EPS}) AS act,
+         CASE WHEN s.r >= d.deg * {EPS}
+              THEN (s.r * {ALPHA_NUM}) // {ALPHA_DEN} ELSE 0 END AS gain
+  FROM {prev} s JOIN ppdeg d ON s.id = d.id
+),
+ppb{i} AS (
+  SELECT *, r - gain AS rest, (r - gain) - (r - gain) // 2 AS outm
+  FROM ppa{i}
+),
+ppc{i} AS (
+  SELECT *, CASE WHEN act THEN outm // deg ELSE 0 END AS share FROM ppb{i}
+),
+pps{i} AS (
+  SELECT id, CAST(sum(p) AS BIGINT) AS p, CAST(sum(r) AS BIGINT) AS r
+  FROM (
+    SELECT id, CASE WHEN act THEN p + gain ELSE p END AS p,
+           CASE WHEN act THEN rest - share * deg ELSE r END AS r
+    FROM ppc{i}
+    UNION ALL
+    SELECT e.dst AS id, 0 AS p, c.share AS r
+    FROM ppc{i} c JOIN ppadj e ON c.id = e.src
+    WHERE c.act AND c.share > 0
+  ) GROUP BY id
+)"""
+        )
+        prev = f"pps{i}"
+    body = ",\n".join(stages)
+    return f"""WITH {_GRAPH_CTES},
+ppue AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+ppadj AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM ppue
+  UNION ALL SELECT b AS src, a AS dst FROM ppue
+),
+ppdeg AS MATERIALIZED (
+  SELECT src AS id, count(*)::BIGINT AS deg FROM ppadj GROUP BY src
+),
+ppseed AS (SELECT id FROM ppdeg ORDER BY deg DESC, id LIMIT 1),
+pps0 AS (
+  SELECT id, CAST(0 AS BIGINT) AS p, CAST({SCALE} AS BIGINT) AS r
+  FROM ppseed
+),
+{body}
+SELECT id, p AS p_mass, r AS r_mass FROM {prev} WHERE p > 0 OR r > 0"""
+
+
 def _betweenness_sql(iters: int, n_seeds: int) -> str:
     """Sampled Brandes betweenness oracle (round 4): per-seed min-plus
     distances (the harmonic unroll), then σ by ascending level and δ by
@@ -3300,6 +3376,7 @@ SELECT (SELECT c FROM recip) AS n_reciprocal,
           * 1000000.0 + 0.5) / 1000000.0
        ) AS lang_assortativity
 FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
+        "ppr_push": _ppr_push_sql(PPR_PUSH_ROUNDS),
         "rich_club": f"""WITH {_GRAPH_CTES},
 rcue AS MATERIALIZED (
   SELECT least(src, dst) AS a, greatest(src, dst) AS b

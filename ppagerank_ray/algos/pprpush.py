@@ -1,0 +1,288 @@
+"""Local personalized PageRank by batch-synchronous integer push.
+
+Andersen-Chung-Lang ("Local graph partitioning using PageRank vectors",
+FOCS 2006) approximate-PPR push, re-expressed for Ray Data: instead of
+the paper's sequential one-vertex-at-a-time queue, EVERY vertex whose
+residual clears the threshold pushes simultaneously each round, for a
+FIXED number of rounds — deterministic, order-free, and therefore
+bit-replayable by the DuckDB oracle (the same unroll trick as the
+betweenness sigma/delta oracle). All mass is int64 "pico-units"
+(SCALE = 10^12) and every division is floor division with the remainder
+kept at the pushing vertex, so total mass is conserved exactly:
+
+    active(v)   iff  r(v) >= deg(v) * EPS
+    gain  = r * ALPHA_NUM // ALPHA_DEN        → p(v) += gain
+    rest  = r - gain
+    stay  = rest // 2                          (lazy half)
+    out   = rest - stay
+    share = out // deg(v)                      → each neighbor += share
+    r(v)  = rest - share * deg(v)              (stay + flooring leak)
+
+Locality is the scale story: ACL bounds the support of p at
+O(1/(eps*alpha)) vertices regardless of graph size, so the state table
+stays small while the graph streams. Per round: one sparse state
+groupby and one scatter of the active shares — broadcast of the sorted
+active arrays against the materialized adjacency under
+PUSH_BROADCAST_MAX_ACTIVE, a partitioned hash join above it. The
+reference has no local-clustering mode; this extends its PageRank
+family (ppagerank.cc ComputePageRank) with the standard local variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ppagerank_ray.algos.triangles import (
+    BROADCAST_MAX_VERTEX_DEGREES,
+    canonical_pairs,
+)
+
+SCALE = 10**12  # seed mass in pico-units
+ALPHA_NUM, ALPHA_DEN = 15, 100  # teleport alpha = 0.15
+EPS = 10**6  # active iff r >= deg * EPS  (r/deg >= 1e-6 of total mass)
+ROUNDS = 10
+PUSH_BROADCAST_MAX_ACTIVE = 50_000_000
+
+
+def _both_dirs(t: pa.Table) -> pa.Table:
+    a = t["a"].to_numpy()
+    b = t["b"].to_numpy()
+    return pa.Table.from_pydict(
+        {
+            "src": np.concatenate([a, b]),
+            "dst": np.concatenate([b, a]),
+        }
+    )
+
+
+def _sum_state(ds: rd.Dataset) -> rd.Dataset:
+    agg = ds.groupby("id").sum(["p", "r"])
+    return agg.map_batches(
+        lambda t: t.rename_columns(["id", "p", "r"]), batch_format="pyarrow"
+    )
+
+
+def ppr_push(
+    edges: rd.Dataset,
+    n_vertices: int,
+    rounds: int = ROUNDS,
+    seed: int | None = None,
+    n_buckets: int = 64,
+) -> pa.Table:
+    """(src,dst) edge Dataset → (id, p_mass, r_mass) int64 pico-unit PPR
+    estimate and residual after `rounds` synchronous pushes from `seed`
+    (default: the max-undirected-degree vertex, ties to the smaller id)
+    over the undirected simple graph. Invariant: sum(p) + sum(r) ==
+    SCALE exactly."""
+    pairs = canonical_pairs(edges)
+    from ppagerank_ray.graph.build import shuffle_blocks
+
+    adj = (
+        pairs.map_batches(_both_dirs, batch_format="pyarrow")
+        .repartition(shuffle_blocks())
+        .materialize()
+    )
+
+    broadcast = n_vertices <= BROADCAST_MAX_VERTEX_DEGREES
+    if broadcast:
+        deg = np.zeros(n_vertices, dtype=np.int64)
+        for t in ray.get(pairs.to_arrow_refs()):
+            if t.num_rows:
+                deg += np.bincount(t["a"].to_numpy(), minlength=n_vertices)
+                deg += np.bincount(t["b"].to_numpy(), minlength=n_vertices)
+        deg_ref = ray.put(deg)
+        deg_tbl = None
+        if seed is None:
+            seed = int(np.argmax(deg))  # first max == smallest id
+    else:
+        deg_ref = None
+        deg_tbl = (
+            adj.map_batches(
+                lambda t: pa.Table.from_pydict({"id": t["src"].to_numpy()}),
+                batch_format="pyarrow",
+            )
+            .repartition(shuffle_blocks())
+            .groupby("id")
+            .count()
+            .map_batches(
+                lambda t: t.rename_columns(["id", "deg"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if seed is None:
+            top = deg_tbl.sort(["deg", "id"], descending=[True, False]).take(1)
+            seed = int(top[0]["id"])
+
+    state = rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "id": np.array([seed], np.int64),
+                "p": np.array([0], np.int64),
+                "r": np.array([SCALE], np.int64),
+            }
+        )
+    )
+
+    def with_deg(st: rd.Dataset) -> rd.Dataset:
+        if broadcast:
+
+            def attach(t: pa.Table) -> pa.Table:
+                dg = ray.get(deg_ref)
+                return t.append_column(
+                    "deg", pa.array(dg[t["id"].to_numpy()], pa.int64())
+                )
+
+            return st.map_batches(attach, batch_format="pyarrow")
+        from ppagerank_ray.ops.joins import hash_join
+
+        return hash_join(st, deg_tbl, "id", "id", n_buckets)
+
+    def push_cols(t: pa.Table):
+        """(id,p,r,deg) → (act, gain, rest, share) numpy columns."""
+        r = t["r"].to_numpy()
+        dg = t["deg"].to_numpy()
+        act = r >= dg * EPS
+        gain = np.where(act, r * ALPHA_NUM // ALPHA_DEN, 0)
+        rest = r - gain
+        out = rest - rest // 2
+        share = np.where(act, out // np.maximum(dg, 1), 0)
+        return act, gain, rest, share
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        act, gain, rest, share = push_cols(t)
+        p = t["p"].to_numpy() + gain
+        dg = t["deg"].to_numpy()
+        r = np.where(act, rest - share * dg, t["r"].to_numpy())
+        return pa.Table.from_pydict(
+            {"id": t["id"].to_numpy(), "p": p.astype(np.int64),
+             "r": r.astype(np.int64)}
+        )
+
+    def share_rows(t: pa.Table) -> pa.Table:
+        act, _, _, share = push_cols(t)
+        keep = act & (share > 0)
+        return pa.Table.from_pydict(
+            {
+                "id": t["id"].to_numpy()[keep],
+                "share": share[keep].astype(np.int64),
+            }
+        )
+
+    for _ in range(rounds):
+        std = with_deg(state).materialize()
+        selfs = std.map_batches(self_rows, batch_format="pyarrow")
+        pushes = std.map_batches(
+            share_rows, batch_format="pyarrow"
+        ).materialize()
+        n_active = pushes.count()
+        if n_active == 0:
+            state = _sum_state(selfs).materialize()
+            break
+        if n_active <= PUSH_BROADCAST_MAX_ACTIVE:
+            pt = pa.concat_tables(
+                [b for b in ray.get(pushes.to_arrow_refs()) if b.num_rows]
+            )
+            ids = pt["id"].to_numpy()
+            order = np.argsort(ids)
+            push_ref = ray.put(
+                (ids[order], pt["share"].to_numpy()[order])
+            )
+
+            def scatter(t: pa.Table) -> pa.Table:
+                aids, ashare = ray.get(push_ref)
+                s = t["src"].to_numpy()
+                idx = np.searchsorted(aids, s)
+                idx = np.minimum(idx, len(aids) - 1)
+                hit = aids[idx] == s
+                return pa.Table.from_pydict(
+                    {
+                        "id": t["dst"].to_numpy()[hit],
+                        "p": np.zeros(int(hit.sum()), np.int64),
+                        "r": ashare[idx[hit]],
+                    }
+                )
+
+            scat = adj.map_batches(
+                scatter, batch_format="pyarrow", batch_size=262144
+            )
+        else:
+            from ppagerank_ray.ops.joins import hash_join
+
+            j = hash_join(adj, pushes, "src", "id", n_buckets)
+
+            def to_contrib(t: pa.Table) -> pa.Table:
+                return pa.Table.from_pydict(
+                    {
+                        "id": t["dst"].to_numpy(),
+                        "p": np.zeros(t.num_rows, np.int64),
+                        "r": t["share"].to_numpy(),
+                    }
+                )
+
+            scat = j.map_batches(to_contrib, batch_format="pyarrow")
+        state = _sum_state(selfs.union(scat)).materialize()
+
+    out = pa.concat_tables(
+        [b for b in ray.get(state.to_arrow_refs()) if b.num_rows]
+    )
+    keep = (out["p"].to_numpy() > 0) | (out["r"].to_numpy() > 0)
+    out = out.filter(pa.array(keep))
+    order = np.argsort(out["id"].to_numpy())
+    return pa.Table.from_pydict(
+        {
+            "id": out["id"].to_numpy()[order],
+            "p_mass": out["p"].to_numpy()[order],
+            "r_mass": out["r"].to_numpy()[order],
+        }
+    )
+
+
+def numpy_ppr_push_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    rounds: int = ROUNDS,
+    seed: int | None = None,
+):
+    """Single-machine replay of the identical synchronous schedule."""
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    b = np.maximum(src[keep], dst[keep]).astype(np.int64)
+    ab = np.unique(a * (1 << 32) + b)
+    a, b = ab >> 32, ab & ((1 << 32) - 1)
+    n = int(max(a.max(), b.max())) + 1 if len(a) else 0
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    if seed is None:
+        seed = int(np.argmax(deg))
+    p = {}
+    r = {seed: SCALE}
+    nbrs: dict[int, list[int]] = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        nbrs.setdefault(x, []).append(y)
+        nbrs.setdefault(y, []).append(x)
+    for _ in range(rounds):
+        act = [v for v, rv in r.items() if rv >= deg[v] * EPS]
+        if not act:
+            break
+        new_r = dict(r)
+        for v in act:
+            rv = r[v]
+            gain = rv * ALPHA_NUM // ALPHA_DEN
+            rest = rv - gain
+            out = rest - rest // 2
+            share = out // deg[v]
+            p[v] = p.get(v, 0) + gain
+            new_r[v] = new_r[v] - rv + (rest - share * deg[v])
+            if share:
+                for u in nbrs[v]:
+                    new_r[u] = new_r.get(u, 0) + share
+        r = {v: x for v, x in new_r.items() if x != 0 or v in p}
+    ids = sorted(set(p) | set(r))
+    return (
+        np.array(ids, np.int64),
+        np.array([p.get(i, 0) for i in ids], np.int64),
+        np.array([r.get(i, 0) for i in ids], np.int64),
+    )
