@@ -326,8 +326,21 @@ def _q_pagerank(sf_dir: str):
     base = _pagerank_fixed(sf_dir, PR_ITERS, pvec=False)
     pvec = _pagerank_fixed(sf_dir, PR_PVEC_ITERS, pvec=True)
     trans = _q_pagerank_trans(sf_dir)
-    return base.append_column("score_pvec", pvec["score"]).append_column(
-        "score_trans", trans["score"]
+    # round 5: local-PPR integer push scattered onto the vertex axis
+    # (sparse result; untouched vertices hold 0 mass/residual)
+    pp = _q_ppr_push(sf_dir)
+    ids = base["id"].to_numpy()
+    order = np.argsort(ids)
+    pos = order[np.searchsorted(ids[order], pp["id"].to_numpy())]
+    ppr = np.zeros(len(ids), np.int64)
+    res = np.zeros(len(ids), np.int64)
+    ppr[pos] = pp["p_mass"].to_numpy()
+    res[pos] = pp["r_mass"].to_numpy()
+    return (
+        base.append_column("score_pvec", pvec["score"])
+        .append_column("score_trans", trans["score"])
+        .append_column("ppr_mass", pa.array(ppr, pa.int64()))
+        .append_column("ppr_residual", pa.array(res, pa.int64()))
     )
 
 
@@ -548,7 +561,25 @@ def _q_degree_distributions(sf_dir: str):
             "n_vertices": ind["n_vertices"],
         }
     )
-    return pa.concat_tables([out, inn])
+    # round 5: rich-club arms — degree = threshold k, n_vertices carries
+    # the club size (rich_n) / internal-edge count (rich_e); the classic
+    # phi(k) = 2*rich_e/(rich_n*(rich_n-1)) is a ratio of the two rows
+    rc = _q_rich_club(sf_dir)
+    rn = pa.Table.from_pydict(
+        {
+            "direction": pa.array(["rich_n"] * rc.num_rows, pa.string()),
+            "degree": rc["k"],
+            "n_vertices": rc["n_rich"],
+        }
+    )
+    re_ = pa.Table.from_pydict(
+        {
+            "direction": pa.array(["rich_e"] * rc.num_rows, pa.string()),
+            "degree": rc["k"],
+            "n_vertices": rc["e_rich"],
+        }
+    )
+    return pa.concat_tables([out, inn, rn, re_])
 
 
 def _q_indegree_distribution(sf_dir: str):
@@ -2016,8 +2047,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "vertex_structure": _q_vertex_structure,  # kcore + clustering
         "degree_distributions": _q_degree_distributions,  # out + in
-        "rich_club": _q_rich_club,  # (k, n_rich, e_rich) exact ints (r5)
-        "ppr_push": _q_ppr_push,  # local PPR, integer ACL push (r5)
         "graph_summary": _q_graph_summary,  # reciprocity+assortativity+tri
         "link_prediction": _q_link_prediction,  # CN/Adamic-Adar/Jaccard (r4)
         "bfs_harmonic": _q_bfs_harmonic,  # bfs_distance + harmonic (✓SQL)
@@ -2922,10 +2951,10 @@ ppb{i} AS (
   SELECT *, r - gain AS rest, (r - gain) - (r - gain) // 2 AS outm
   FROM ppa{i}
 ),
-ppc{i} AS (
+ppc{i} AS MATERIALIZED (
   SELECT *, CASE WHEN act THEN outm // deg ELSE 0 END AS share FROM ppb{i}
 ),
-pps{i} AS (
+pps{i} AS MATERIALIZED (
   SELECT id, CAST(sum(p) AS BIGINT) AS p, CAST(sum(r) AS BIGINT) AS r
   FROM (
     SELECT id, CASE WHEN act THEN p + gain ELSE p END AS p,
@@ -3245,10 +3274,16 @@ SELECT (SELECT v FROM nv) AS n_vertices,
         # y = M*x) must equal plain row-stochastic PageRank — the Ray side
         # computes it through an independent write/reload/iterate path, so
         # oracle score_trans == score by design
+        # ppr_mass/ppr_residual: the round-5 local-PPR integer push, LEFT
+        # JOINed onto the per-vertex table (untouched vertices hold 0);
+        # the push SQL nests its own WITH (CTE names shadow the outer ones)
         "pagerank": f"""
-SELECT b.id, b.score, p.score AS score_pvec, b.score AS score_trans
+SELECT b.id, b.score, p.score AS score_pvec, b.score AS score_trans,
+       coalesce(pp.p_mass, 0)::BIGINT AS ppr_mass,
+       coalesce(pp.r_mass, 0)::BIGINT AS ppr_residual
 FROM ({_pagerank_sql(PR_ITERS, pvec=False)}) b
-JOIN ({_pagerank_sql(PR_PVEC_ITERS, pvec=True)}) p ON b.id = p.id""",
+JOIN ({_pagerank_sql(PR_PVEC_ITERS, pvec=True)}) p ON b.id = p.id
+LEFT JOIN ({_ppr_push_sql(PPR_PUSH_ROUNDS)}) pp ON b.id = pp.id""",
         # wedge self-join on the undirected adjacency; the Adamic-Adar sum
         # is an exact BIGINT accumulation (order-invariant on both sides)
         "link_prediction": "WITH "
@@ -3376,8 +3411,8 @@ SELECT (SELECT c FROM recip) AS n_reciprocal,
           * 1000000.0 + 0.5) / 1000000.0
        ) AS lang_assortativity
 FROM undb u JOIN udeg ds ON u.src = ds.id JOIN udeg dd ON u.dst = dd.id""",
-        "ppr_push": _ppr_push_sql(PPR_PUSH_ROUNDS),
-        "rich_club": f"""WITH {_GRAPH_CTES},
+        "degree_distributions": f"""WITH {_GRAPH_CTES},
+ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst),
 rcue AS MATERIALIZED (
   SELECT least(src, dst) AS a, greatest(src, dst) AS b
   FROM edges WHERE src <> dst GROUP BY 1, 2
@@ -3392,21 +3427,23 @@ rcem AS MATERIALIZED (
   FROM rcue JOIN rcdeg d1 ON rcue.a = d1.v JOIN rcdeg d2 ON rcue.b = d2.v
   GROUP BY 1
 )
-SELECT rcdh.d AS k,
-  CAST(coalesce((SELECT sum(x.n) FROM rcdh x WHERE x.d > rcdh.d), 0) AS BIGINT)
-    AS n_rich,
-  CAST(coalesce((SELECT sum(e.ne) FROM rcem e WHERE e.m > rcdh.d), 0) AS BIGINT)
-    AS e_rich
-FROM rcdh""",
-        "degree_distributions": f"""WITH {_GRAPH_CTES},
-ind AS (SELECT dst AS id, count(*)::BIGINT AS c FROM edges GROUP BY dst)
 SELECT 'out' AS direction, outdeg AS degree, count(*)::BIGINT AS n_vertices
 FROM outdeg_all GROUP BY outdeg
 UNION ALL
 SELECT 'in' AS direction, indeg AS degree, count(*)::BIGINT AS n_vertices FROM (
   SELECT v.id, coalesce(i.c, 0)::BIGINT AS indeg
   FROM verts v LEFT JOIN ind i ON v.id = i.id
-) GROUP BY indeg""",
+) GROUP BY indeg
+UNION ALL
+SELECT 'rich_n' AS direction, rcdh.d AS degree,
+  CAST(coalesce((SELECT sum(x.n) FROM rcdh x WHERE x.d > rcdh.d), 0) AS BIGINT)
+    AS n_vertices
+FROM rcdh
+UNION ALL
+SELECT 'rich_e' AS direction, rcdh.d AS degree,
+  CAST(coalesce((SELECT sum(e.ne) FROM rcem e WHERE e.m > rcdh.d), 0) AS BIGINT)
+    AS n_vertices
+FROM rcdh""",
         "runscript": " UNION ALL ".join(
             f"""SELECT * FROM (
   SELECT {r}::BIGINT AS run, 'power' AS alg, {a} AS alpha,
