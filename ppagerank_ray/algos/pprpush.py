@@ -241,6 +241,147 @@ def ppr_push(
     )
 
 
+def sweep_cut(edges: rd.Dataset, ppr: pa.Table) -> pa.Table:
+    """ACL sweep over a ppr_push result: order the support by p/deg
+    descending (ties to the smaller id), then for every prefix size t
+    emit exact integers cut(t) = #undirected simple edges with exactly
+    one endpoint in the prefix and vol(t) = Σ degree over the prefix,
+    plus conductance(t) = cut / min(vol, 2|E|-vol) as float64. The
+    minimum-conductance prefix is the ACL local cluster.
+
+    Scale shape: every driver-side structure is support-bounded
+    (O(1/(eps*alpha)) vertices — ppr_push's locality guarantee), never
+    O(V): support degrees come from a distributed histogram keyed by
+    support index, and tasks resolve ranks by searchsorted against the
+    broadcast sorted support ids. The edge scan reduces each canonical
+    pair to (rank_min, rank_max) and histograms them per batch, so
+    cut(t) for ALL t comes from two ≤support-sized cumulative sums —
+    one pass over the edges, no per-t work."""
+    pairs = canonical_pairs(edges).materialize()
+    total_pairs = pairs.count()
+
+    ids = ppr["id"].to_numpy()
+    p = ppr["p_mass"].to_numpy()
+    support = len(ids)
+    sup_sorted = np.sort(ids)
+    sup_ref = ray.put(sup_sorted)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = ray.get(sup_ref)
+        both = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+        idx = np.minimum(np.searchsorted(s, both), len(s) - 1)
+        hit = s[idx] == both
+        u, c = np.unique(idx[hit], return_counts=True)
+        return pa.Table.from_pydict(
+            {"si": u.astype(np.int64), "n": c.astype(np.int64)}
+        )
+
+    dt = (
+        pairs.map_batches(deg_partial, batch_format="pyarrow", batch_size=262144)
+        .groupby("si")
+        .sum("n")
+    )
+    deg_sup = np.zeros(support, np.int64)
+    for b in ray.get(dt.to_arrow_refs()):
+        if b.num_rows:
+            deg_sup[b["si"].to_numpy()] = b["sum(n)"].to_numpy()
+    degv = deg_sup[np.searchsorted(sup_sorted, ids)]
+
+    score = p / np.maximum(degv, 1)
+    order = np.lexsort((ids, -score))
+    sweep_ids = ids[order]
+    sweep_deg = degv[order]
+    perm = np.argsort(sweep_ids)
+    rank_ref = ray.put((sweep_ids[perm], perm.astype(np.int64)))
+
+    def _ranks(rk_pair, v):
+        sid, rnk = rk_pair
+        idx = np.minimum(np.searchsorted(sid, v), len(sid) - 1)
+        hit = sid[idx] == v
+        out = np.full(len(v), len(sid), np.int64)
+        out[hit] = rnk[idx[hit]]
+        return out
+
+    def rank_hist(t: pa.Table) -> pa.Table:
+        rk_pair = ray.get(rank_ref)
+        ra = _ranks(rk_pair, t["a"].to_numpy())
+        rb = _ranks(rk_pair, t["b"].to_numpy())
+        rmin = np.minimum(ra, rb)
+        rmax = np.maximum(ra, rb)
+        keep = rmin < support  # at least one endpoint in the support
+        out = []
+        for tag, arr in (("lo", rmin[keep]), ("hi", rmax[keep])):
+            u, c = np.unique(arr, return_counts=True)
+            out.append(
+                pa.Table.from_pydict(
+                    {
+                        "tag": pa.array([tag] * len(u), pa.string()),
+                        "rk": u.astype(np.int64),
+                        "n": c.astype(np.int64),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    hist = (
+        pairs.map_batches(rank_hist, batch_format="pyarrow", batch_size=262144)
+        .groupby(["tag", "rk"])
+        .sum("n")
+    )
+    ht = pa.concat_tables(
+        [b for b in ray.get(hist.to_arrow_refs()) if b.num_rows]
+    )
+    lo = np.zeros(support + 1, np.int64)
+    hi = np.zeros(support + 1, np.int64)
+    if ht.num_rows:
+        tags = ht["tag"].to_numpy(zero_copy_only=False)
+        rks = ht["rk"].to_numpy()
+        ns = ht["sum(n)"].to_numpy().astype(np.int64)
+        sel = tags == "lo"
+        np.add.at(lo, np.minimum(rks[sel], support), ns[sel])
+        np.add.at(hi, np.minimum(rks[~sel], support), ns[~sel])
+
+    # cut(t) = #pairs with rmin < t  −  #pairs with rmax < t
+    cum_lo = np.cumsum(lo)[:support]  # index t-1 == "< t"
+    cum_hi = np.cumsum(hi)[:support]
+    cut = cum_lo - cum_hi
+    vol = np.cumsum(sweep_deg)
+    denom = np.minimum(vol, 2 * total_pairs - vol)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cond = np.where(denom > 0, cut / np.maximum(denom, 1), np.inf)
+    return pa.Table.from_pydict(
+        {
+            "t": np.arange(1, support + 1, dtype=np.int64),
+            "id": sweep_ids,
+            "cut_edges": cut,
+            "vol": vol,
+            "conductance": cond.astype(np.float64),
+        }
+    )
+
+
+def numpy_sweep_oracle(src: np.ndarray, dst: np.ndarray, ppr: pa.Table):
+    """Brute-force per-prefix recount for tests."""
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    b = np.maximum(src[keep], dst[keep]).astype(np.int64)
+    ab = np.unique(a * (1 << 32) + b)
+    a, b = ab >> 32, ab & ((1 << 32) - 1)
+    n = int(max(a.max(), b.max())) + 1
+    deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
+    ids = ppr["id"].to_numpy()
+    p = ppr["p_mass"].to_numpy()
+    order = np.lexsort((ids, -(p / np.maximum(deg[ids], 1))))
+    sweep = ids[order]
+    cuts, vols = [], []
+    inset = np.zeros(n, bool)
+    for v in sweep:
+        inset[v] = True
+        cuts.append(int((inset[a] != inset[b]).sum()))
+        vols.append(int(deg[inset].sum()))
+    return sweep, np.array(cuts, np.int64), np.array(vols, np.int64)
+
+
 def numpy_ppr_push_oracle(
     src: np.ndarray,
     dst: np.ndarray,

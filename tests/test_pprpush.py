@@ -10,7 +10,9 @@ import ray.data as rd
 from ppagerank_ray.algos.pprpush import (
     SCALE,
     numpy_ppr_push_oracle,
+    numpy_sweep_oracle,
     ppr_push,
+    sweep_cut,
 )
 
 
@@ -62,6 +64,47 @@ def test_locality_on_two_components():
     dst = [b for _, b in c1 + c2]
     got = _check(src, dst, 14)
     assert set(got["id"].to_pylist()) <= set(range(6))
+
+
+def test_sweep_cut_matches_bruteforce():
+    rng = np.random.default_rng(9)
+    n = 150
+    src = rng.integers(0, n, 800)
+    dst = rng.integers(0, n, 800)
+    ds = _edges_ds(src, dst)
+    ppr = ppr_push(ds, n, rounds=6)
+    got = sweep_cut(ds, ppr)
+    sweep, cuts, vols = numpy_sweep_oracle(
+        np.asarray(src, np.int64), np.asarray(dst, np.int64), ppr
+    )
+    assert got["id"].to_numpy().tolist() == sweep.tolist()
+    assert got["cut_edges"].to_numpy().tolist() == cuts.tolist()
+    assert got["vol"].to_numpy().tolist() == vols.tolist()
+    # conductance consistent with the integer columns
+    cond = got["conductance"].to_numpy()
+    denom = np.minimum(vols, 2 * len(np.unique(
+        np.minimum(src, dst)[src != dst] * (1 << 32)
+        + np.maximum(src, dst)[src != dst])) - vols)
+    ok = denom > 0
+    assert np.allclose(cond[ok], cuts[ok] / denom[ok])
+
+
+def test_sweep_cut_finds_planted_cluster():
+    # two dense cliques bridged by one edge: the min-conductance prefix
+    # is exactly the seed's clique
+    import itertools
+
+    c1 = list(itertools.combinations(range(8), 2))
+    c2 = list(itertools.combinations(range(8, 14), 2))
+    src = [a for a, _ in c1 + c2] + [0]
+    dst = [b for _, b in c1 + c2] + [8]
+    ds = _edges_ds(src, dst)
+    ppr = ppr_push(ds, 14, rounds=8)
+    got = sweep_cut(ds, ppr)
+    cond = got["conductance"].to_numpy()
+    best_t = int(got["t"].to_numpy()[np.argmin(cond)])
+    best_set = set(got["id"].to_numpy()[:best_t].tolist())
+    assert best_set == set(range(8))
 
 
 def test_forced_join_paths(monkeypatch):
