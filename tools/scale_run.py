@@ -237,6 +237,36 @@ def main() -> None:
         beng.shutdown()
         emit(rec)
 
+    if "pprpush" in phases:
+        # round-5 local-PPR push + ACL sweep at `pages` scale: the
+        # evidence is LOCALITY — support (nonzero p/r vertices) bounded
+        # by O(1/(eps*alpha)) and flat driver RSS while the graph is
+        # 10-100× the bench scale; the sweep's driver state is
+        # support-sized, never O(V)
+        from ppagerank_ray.algos.pprpush import SCALE, ppr_push, sweep_cut
+
+        nv = n_vertices_for(pages)
+        rec = {"phase": "pprpush", "pages": pages}
+        pedges = synth_edges(pages, parallelism=ncpu * 4).materialize()
+        t0 = time.time()
+        pp = ppr_push(pedges, nv)
+        rec["push_sec"] = round(time.time() - t0, 1)
+        rec["support"] = pp.num_rows
+        rec["support_frac"] = round(pp.num_rows / nv, 8)
+        rec["mass_conserved"] = bool(
+            int(pp["p_mass"].to_numpy().sum() + pp["r_mass"].to_numpy().sum())
+            == SCALE
+        )
+        t0 = time.time()
+        sw = sweep_cut(pedges, pp)
+        rec["sweep_sec"] = round(time.time() - t0, 1)
+        c = sw["conductance"].to_numpy()
+        if len(c):
+            i = int(np.argmin(c))
+            rec["best_t"] = int(sw["t"][i].as_py())
+            rec["best_conductance"] = round(float(c[i]), 6)
+        emit(rec)
+
     if "truss" in phases:
         # per-edge support + 4-truss peeling at `pages` scale — the
         # evidence is peeling converging in a few rounds with the wedge
