@@ -553,6 +553,13 @@ def run_scaling() -> dict:
     rounds = int(os.environ.get("PPR_SCALE_ROUNDS", "2"))
     phases = os.environ.get("PPR_SCALE_PHASES", "minhash,spmv").split(",")
     here = os.path.dirname(os.path.abspath(__file__))
+    # round 5: the scaling run gets the same quiet gate + per-attempt
+    # contention tag as run_bench — best-of already rejects burst-slowed
+    # attempts by throughput, but the tag makes each kept number carry
+    # its own evidence (and the gate avoids starting inside a burst)
+    gate = _quiet_gate()
+    sampler = _ContentionSampler()
+    sampler.start()
     best: dict = {(p, n): None for p in phases for n in (lo, hi)}
     for _ in range(rounds):
         for ncpu in (lo, hi):
@@ -562,10 +569,12 @@ def run_scaling() -> dict:
                     sys.executable, os.path.join(here, "bench.py"),
                     "--scaling-phase", phase, str(ncpu),
                 ]
+                t0 = time.time()
                 res = subprocess.run(cmd, capture_output=True, text=True)
                 if res.returncode != 0:
                     raise RuntimeError(res.stderr[-2000:])
                 r = json.loads(res.stdout.strip().splitlines()[-1])
+                r["co_tenant_p50"] = sampler.window_p50(t0, time.time())
                 b = best[(phase, ncpu)]
                 if b is None or r["throughput"] > b["throughput"]:
                     best[(phase, ncpu)] = r
@@ -590,7 +599,12 @@ def run_scaling() -> dict:
                      "bvgraph": "arcs/sec (decode)",
                      "bvgenc": "arcs/sec (encode)"}.get(p, "docs/sec"),
             "efficiency": eff,
+            "co_tenant_p50_kept": [
+                blo.get("co_tenant_p50"), bhi.get("co_tenant_p50")
+            ],
         }
+    report["quiet_gate"] = gate
+    report["contention"] = sampler.summary()
     # headline = the WORST phase (ADVICE r2: max() let one well-scaling
     # phase mask a poorly-scaling one; min() is the honest aggregate)
     report["scaling_efficiency"] = min(

@@ -1,9 +1,10 @@
 """Rich-club structure over the undirected simple graph.
 
 Engine-only extension of the reference's degree-statistics family
-(ppagerank's matrix stats, `ppagerank.cc:240-270`, report degree
-extremes; this module reports how tightly the high-degree "club" is
-wired). For every degree threshold k present in the graph it emits the
+(the reference tracks per-processor nonzero/degree distributions when
+loading — `petsc_util.cc:463-480` nz counts, `petsc_util.cc:176-266`
+.degs handling; this module reports how tightly the high-degree "club"
+is wired). For every degree threshold k present in the graph it emits the
 two exact integers behind the classic rich-club coefficient
 phi(k) = 2*E_k / (N_k*(N_k-1)) (Zhou & Mondragon, "The rich-club
 phenomenon in the Internet topology", 2004):

@@ -327,3 +327,37 @@ def test_greedy_family_properties(g):
     assert (col >= 0).all()
     if len(a):
         assert not (col[a] == col[b]).any()
+
+
+from ppagerank_ray.algos.pprpush import numpy_ppr_push_oracle, ppr_push
+from ppagerank_ray.algos.richclub import numpy_rich_club_oracle, rich_club
+
+
+@given(g=graphs())
+@_SETTINGS
+def test_rich_club_property(g):
+    n, edges = g
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    ds, src, dst = _edge_ds(n, edges)
+    got = rich_club(ds, n)
+    ks, n_rich, e_rich = numpy_rich_club_oracle(src, dst)
+    assert got["k"].to_numpy().tolist() == ks.tolist()
+    assert got["n_rich"].to_numpy().tolist() == n_rich.tolist()
+    assert got["e_rich"].to_numpy().tolist() == e_rich.tolist()
+
+
+@given(g=graphs())
+@_SETTINGS
+def test_ppr_push_property(g):
+    n, edges = g
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    ds, src, dst = _edge_ds(n, edges)
+    got = ppr_push(ds, n, rounds=4, n_buckets=4)
+    ids, p, r = numpy_ppr_push_oracle(src, dst, rounds=4)
+    assert got["id"].to_numpy().tolist() == ids.tolist()
+    assert got["p_mass"].to_numpy().tolist() == p.tolist()
+    assert got["r_mass"].to_numpy().tolist() == r.tolist()
