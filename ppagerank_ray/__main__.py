@@ -75,7 +75,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--algo", default="pagerank",
                     choices=["pagerank", "components", "labelprop", "triangles",
                              "kcore", "bfs", "scc", "hosts", "walks",
-                             "mis", "matching", "coloring", "wl", "louvain"])
+                             "mis", "matching", "coloring", "wl", "louvain",
+                             "pprsweep"])
     ap.add_argument("--seed", type=int, default=0,
                     help="BFS source vertex id (--algo bfs) / walk PRNG "
                     "seed (--algo walks)")
@@ -310,6 +311,24 @@ def main(argv: list[str] | None = None) -> int:
         corpus.write_parquet(args.out)
         summary["n_corpus_rows"] = corpus.count()
         summary["n_walks"] = gt.n_vertices * args.walks_per_vertex
+    elif args.algo == "pprsweep":
+        import os
+
+        import numpy as _np
+        import pyarrow.parquet as pq
+
+        from ppagerank_ray.algos.pprpush import ppr_push, sweep_cut
+
+        pp = ppr_push(gt.edges, gt.n_vertices, seed=args.seed or None)
+        sw = sweep_cut(gt.edges, pp)
+        summary["support"] = pp.num_rows
+        cond = sw["conductance"].to_numpy()
+        if len(cond):
+            i = int(_np.argmin(cond))
+            summary["best_t"] = int(sw["t"][i].as_py())
+            summary["best_conductance"] = float(cond[i])
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(sw, f"{args.out}/ppr_sweep.parquet")
     elif args.algo == "hosts":
         import os
 

@@ -192,3 +192,19 @@ def test_cli_walks(tmp_path):
          "--out", str(tmp_path / "w2"), "--num-cpus", "4"]
     )
     assert s2["n_corpus_rows"] >= 505  # node2vec path produced a corpus
+
+
+def test_cli_pprsweep(tmp_path):
+    """Local-PPR push + ACL sweep (round 5): sweep table written, best
+    conductance consistent with its own integer columns."""
+    import duckdb
+
+    s = _run(
+        ["--sf", "/root/testdata/sf0.001", "--algo", "pprsweep",
+         "--out", str(tmp_path / "pw"), "--num-cpus", "4"]
+    )
+    assert s["support"] > 0 and 0.0 < s["best_conductance"] <= 1.0
+    n, c = duckdb.sql(
+        f"select count(*), min(conductance) from '{tmp_path}/pw/ppr_sweep.parquet'"
+    ).fetchone()
+    assert n == s["support"] and abs(c - s["best_conductance"]) < 1e-12
