@@ -69,14 +69,16 @@ def ppr_push(
     edges: rd.Dataset,
     n_vertices: int,
     rounds: int = ROUNDS,
-    seed: int | None = None,
+    seed: int | list[int] | None = None,
     n_buckets: int = 64,
 ) -> pa.Table:
     """(src,dst) edge Dataset → (id, p_mass, r_mass) int64 pico-unit PPR
     estimate and residual after `rounds` synchronous pushes from `seed`
-    (default: the max-undirected-degree vertex, ties to the smaller id)
-    over the undirected simple graph. Invariant: sum(p) + sum(r) ==
-    SCALE exactly."""
+    (default: the max-undirected-degree vertex, ties to the smaller id;
+    a LIST of seeds runs topic-sensitive PPR from the set — SCALE is
+    floor-split across seeds with the remainder to the first, so the
+    teleport distribution is exact integers) over the undirected simple
+    graph. Invariant: sum(p) + sum(r) == SCALE exactly."""
     pairs = canonical_pairs(edges)
     from ppagerank_ray.graph.build import shuffle_blocks
 
@@ -117,12 +119,21 @@ def ppr_push(
             top = deg_tbl.sort(["deg", "id"], descending=[True, False]).take(1)
             seed = int(top[0]["id"])
 
+    seeds = np.array(
+        seed if isinstance(seed, (list, tuple, np.ndarray)) else [seed],
+        np.int64,
+    )
+    if len(np.unique(seeds)) != len(seeds):
+        raise ValueError("duplicate seeds")
+    share0 = SCALE // len(seeds)
+    r0 = np.full(len(seeds), share0, np.int64)
+    r0[0] += SCALE - share0 * len(seeds)  # remainder → first seed
     state = rd.from_arrow(
         pa.Table.from_pydict(
             {
-                "id": np.array([seed], np.int64),
-                "p": np.array([0], np.int64),
-                "r": np.array([SCALE], np.int64),
+                "id": seeds,
+                "p": np.zeros(len(seeds), np.int64),
+                "r": r0,
             }
         )
     )
@@ -398,8 +409,11 @@ def numpy_ppr_push_oracle(
     deg = np.bincount(a, minlength=n) + np.bincount(b, minlength=n)
     if seed is None:
         seed = int(np.argmax(deg))
+    seeds = list(seed) if isinstance(seed, (list, tuple, np.ndarray)) else [seed]
+    share0 = SCALE // len(seeds)
     p = {}
-    r = {seed: SCALE}
+    r = {int(s): share0 for s in seeds}
+    r[int(seeds[0])] += SCALE - share0 * len(seeds)
     nbrs: dict[int, list[int]] = {}
     for x, y in zip(a.tolist(), b.tolist()):
         nbrs.setdefault(x, []).append(y)

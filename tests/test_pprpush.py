@@ -121,3 +121,27 @@ def test_forced_join_paths(monkeypatch):
     monkeypatch.setattr(pp, "BROADCAST_MAX_VERTEX_DEGREES", -1)
     joined_deg = ppr_push(_edges_ds(src, dst), n, rounds=4, n_buckets=4)
     assert base.to_pydict() == joined_deg.to_pydict()
+
+
+def test_multi_seed_matches_replay():
+    rng = np.random.default_rng(21)
+    n = 100
+    src = rng.integers(0, n, 500)
+    dst = rng.integers(0, n, 500)
+    seeds = [3, 41, 77]
+    got = ppr_push(_edges_ds(src, dst), n, rounds=5, seed=seeds)
+    ids, p, r = numpy_ppr_push_oracle(
+        np.asarray(src, np.int64), np.asarray(dst, np.int64),
+        rounds=5, seed=seeds,
+    )
+    assert got["id"].to_numpy().tolist() == ids.tolist()
+    assert got["p_mass"].to_numpy().tolist() == p.tolist()
+    assert got["r_mass"].to_numpy().tolist() == r.tolist()
+    assert got["p_mass"].to_numpy().sum() + got["r_mass"].to_numpy().sum() == SCALE
+
+
+def test_duplicate_seeds_rejected():
+    src = [0, 1]
+    dst = [1, 2]
+    with pytest.raises(ValueError):
+        ppr_push(_edges_ds(src, dst), 3, seed=[1, 1])
