@@ -74,6 +74,9 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     con = duckdb.connect()
+    # spill to /tmp, never the repo cwd (the sf0.1 near-dup oracles are
+    # quadratic and can balloon DuckDB's temp storage past 80 GB)
+    con.sql("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for tbl in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
